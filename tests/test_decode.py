@@ -1,0 +1,117 @@
+"""Decode heads vs numpy oracles transcribing the reference math:
+v1 YOLO_V1_Inference.py:213-270, v2 decode.py:13-48,
+v3 YOLOV3.py:168-238 (_ratio_detection_layer)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.models import heads
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def test_decode_v2_oracle(rng):
+    cfg = C.get_config("yolov2")
+    H = W = 13
+    A, Cn = cfg.num_anchors, cfg.num_classes
+    feat = rng.standard_normal((2, H, W, A * (5 + Cn)), dtype=np.float32)
+
+    boxes, conf, probs = heads.decode_v2(jnp.asarray(feat), cfg)
+
+    det = feat.reshape(2, H * W, A, 5 + Cn)
+    xy = _sigmoid(det[..., 0:2])
+    wh = np.exp(det[..., 2:4])
+    want_conf = _sigmoid(det[..., 4])
+    want_probs = _softmax(det[..., 5:])
+    anchors = np.asarray(cfg.anchors, np.float32)
+    # x_cell[idx] = column, y_cell[idx] = row (tf.meshgrid semantics)
+    cols = np.tile(np.arange(W, dtype=np.float32), H).reshape(1, H * W, 1)
+    rows = np.repeat(np.arange(H, dtype=np.float32), W).reshape(1, H * W, 1)
+    bx = (cols + xy[..., 0]) / W
+    by = (rows + xy[..., 1]) / H
+    bw = anchors[:, 0] * wh[..., 0] / W
+    bh = anchors[:, 1] * wh[..., 1] / H
+    want = np.stack([bx, by, bw, bh], -1).reshape(2, -1, 4)
+
+    np.testing.assert_allclose(np.asarray(boxes), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(conf),
+                               want_conf.reshape(2, -1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs),
+                               want_probs.reshape(2, -1, Cn), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_decode_v3_scale_oracle(rng):
+    cfg = C.get_config("yolov3")
+    G, A, Cn = 13, 3, cfg.num_classes
+    anchors_px = [cfg.anchors[i] for i in (6, 7, 8)]
+    feat = rng.standard_normal((1, G, G, A * (5 + Cn)), dtype=np.float32)
+
+    boxes, conf, probs = heads.decode_v3_scale(
+        jnp.asarray(feat), anchors_px, cfg.input_size, Cn)
+
+    det = feat.reshape(1, G * G, A, 5 + Cn)
+    xy = _sigmoid(det[..., 0:2])
+    wh = np.exp(det[..., 2:4])
+    want_conf = _sigmoid(det[..., 4]).reshape(1, -1)
+    want_probs = _sigmoid(det[..., 5:]).reshape(1, -1, Cn)
+    stride = cfg.input_size // G
+    anchors = np.asarray(anchors_px, np.float32) / stride
+    cols = np.tile(np.arange(G, dtype=np.float32), G).reshape(1, G * G, 1)
+    rows = np.repeat(np.arange(G, dtype=np.float32), G).reshape(1, G * G, 1)
+    bx = (cols + xy[..., 0]) / G
+    by = (rows + xy[..., 1]) / G
+    bw = anchors[:, 0] * wh[..., 0] / G
+    bh = anchors[:, 1] * wh[..., 1] / G
+    want = np.stack([bx, by, bw, bh], -1).reshape(1, -1, 4)
+
+    np.testing.assert_allclose(np.asarray(boxes), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(conf), want_conf, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs), want_probs, rtol=1e-5, atol=1e-6)
+    # spot-check the anchor grid-unit constants printed in YOLOV3.py:226
+    np.testing.assert_allclose(anchors[0], [3.625, 2.8125])
+
+
+def test_decode_v1_oracle(rng):
+    cfg = C.get_config("yolov1")
+    S, B, Cn = cfg.grid, cfg.boxes_per_cell, cfg.num_classes
+    pred = rng.standard_normal((1, S * S * (Cn + B * 5)), dtype=np.float32)
+
+    boxes, conf, probs = heads.decode_v1(jnp.asarray(pred), cfg)
+
+    i1 = S * S * Cn
+    i2 = i1 + S * S * B
+    class_probs = pred[:, :i1].reshape(1, S, S, Cn)
+    confs = pred[:, i1:i2].reshape(1, S, S, B)
+    raw = pred[:, i2:].reshape(1, S, S, B, 4)
+    # x_offset[i,j,b] = j (column), y_offset[i,j,b] = i (row)
+    col = np.tile(np.arange(S, dtype=np.float32).reshape(1, S, 1), (S, 1, B))
+    row = col.transpose(1, 0, 2)
+    x = (raw[..., 0] + col) / S
+    y = (raw[..., 1] + row) / S
+    w = raw[..., 2] ** 2
+    h = raw[..., 3] ** 2
+    want_boxes = np.stack([x, y, w, h], -1).reshape(1, -1, 4)
+    want_conf = confs.reshape(1, -1)
+    want_probs = np.broadcast_to(class_probs[:, :, :, None, :],
+                                 (1, S, S, B, Cn)).reshape(1, -1, Cn)
+
+    np.testing.assert_allclose(np.asarray(boxes), want_boxes, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(conf), want_conf, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(probs), want_probs, rtol=1e-6)
+
+
+def test_xywh_to_xyxy():
+    b = jnp.asarray([[[0.5, 0.5, 0.2, 0.4]]])
+    out = np.asarray(heads.xywh_to_xyxy(b))
+    np.testing.assert_allclose(out, [[[0.4, 0.3, 0.6, 0.7]]], atol=1e-7)

@@ -1,0 +1,191 @@
+"""Darknet ``.weights`` byte-stream <-> JAX pytree.
+
+Replaces src/parser.c:1241 (load_weights_upto), :992 (save_weights_upto) and
+the five per-model Python ``_load_weights`` twins (e.g. YOLOV3.py:385-441).
+Unlike the reference — which discovers layer types by sniffing the *names* of
+the next TF variable (YOLOV3.py:404-429) — the loader here walks the model's
+explicit layer specs, so the file-order contract is stated once, in
+models/zoo.py.
+
+File format (src/parser.c:1241-1290):
+  header: int32 major, minor, revision, then ``seen`` — int32 for pre-v3-era
+          files, int64 for v3-era (major*10+minor >= 2) — then raw float32s.
+  per conv+BN layer:   biases(beta)[n] scales(gamma)[n] mean[n] var[n]
+                       weights[(out,in,kh,kw) row-major]
+  per conv(no BN):     biases[n] weights[...]
+  per connected layer: biases[out] weights[(out,in) row-major]
+
+Conv kernels transpose (out,in,kh,kw) -> HWIO (kh,kw,in,out)
+(YOLOV3.py:434-436). By default batch norm is folded into the conv at load:
+    w' = w * gamma / sqrt(var + eps);  b' = beta - gamma * mean / sqrt(var+eps)
+which is the TPU-idiomatic equivalent of darknet's separate inference-mode
+BN op — one fused conv epilogue instead of an extra HBM round trip.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from yolo_tensorflow_tpu.models import specs as S
+from yolo_tensorflow_tpu.models.engine import infer_shapes, layer_key
+
+
+class WeightsFormatError(ValueError):
+    pass
+
+
+def read_header(fp, header_ints: Optional[int] = None):
+    """Read the darknet header. If header_ints is None, use the darknet
+    version rule (seen is int64 iff major*10+minor >= 2); otherwise force
+    4 (-> seen int32) or 5 (-> seen int64) int32 slots like the reference
+    converters do (count=4: YOLO_V2_Tiny_Voc...py:316; count=5:
+    YOLO_V3_convert...py:121)."""
+    raw = fp.read(12)
+    if len(raw) != 12:
+        raise WeightsFormatError("truncated header")
+    major, minor, revision = struct.unpack("<3i", raw)
+    if header_ints is None:
+        wide_seen = major * 10 + minor >= 2
+    else:
+        wide_seen = header_ints == 5
+    seen = struct.unpack("<q" if wide_seen else "<i", fp.read(8 if wide_seen else 4))[0]
+    return {"major": major, "minor": minor, "revision": revision, "seen": seen}
+
+
+def write_header(fp, *, major=0, minor=2, revision=0, seen=0):
+    fp.write(struct.pack("<3i", major, minor, revision))
+    wide_seen = major * 10 + minor >= 2
+    fp.write(struct.pack("<q" if wide_seen else "<i", seen))
+
+
+def _take(buf: np.ndarray, ptr: int, n: int) -> Tuple[np.ndarray, int]:
+    if ptr + n > buf.size:
+        raise WeightsFormatError(
+            f"weights file exhausted: need {ptr + n} floats, have {buf.size}")
+    return buf[ptr:ptr + n], ptr + n
+
+
+def fold_bn(w_hwio, gamma, beta, mean, var, eps):
+    """Fold inference-mode BN into conv weight + bias."""
+    inv = gamma / np.sqrt(var + eps)
+    w = w_hwio * inv.reshape(1, 1, 1, -1)
+    b = beta - mean * inv
+    return w.astype(np.float32), b.astype(np.float32)
+
+
+def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
+                         header_ints: Optional[int] = None,
+                         bn_eps: float = 1e-5, fold: bool = True,
+                         in_channels: int = 3):
+    """Parse a .weights stream against ``specs``.
+
+    Returns (params, batch_stats, header). When fold=True batch_stats is {}
+    and every conv carries {"w","b"}; otherwise BN convs carry
+    {"w","gamma","beta"} and their running stats land in batch_stats.
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        fp = _io.BytesIO(path_or_bytes)
+    else:
+        fp = open(path_or_bytes, "rb")
+    with fp:
+        header = read_header(fp, header_ints)
+        buf = np.frombuffer(fp.read(), dtype="<f4")
+
+    shapes = infer_shapes(specs, (1, input_size, input_size, in_channels))
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    batch_stats: Dict[str, Dict[str, np.ndarray]] = {}
+    ptr = 0
+    prev = (1, input_size, input_size, in_channels)
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            cin, cout, k = prev[3], spec.filters, spec.size
+            if spec.bn:
+                beta, ptr = _take(buf, ptr, cout)
+                gamma, ptr = _take(buf, ptr, cout)
+                mean, ptr = _take(buf, ptr, cout)
+                var, ptr = _take(buf, ptr, cout)
+            else:
+                bias, ptr = _take(buf, ptr, cout)
+            flat, ptr = _take(buf, ptr, cout * cin * k * k)
+            w = flat.reshape(cout, cin, k, k).transpose(2, 3, 1, 0)  # -> HWIO
+            if spec.bn:
+                if fold:
+                    wf, bf = fold_bn(w, gamma, beta, mean, var, bn_eps)
+                    params[layer_key(i)] = {"w": wf, "b": bf}
+                else:
+                    params[layer_key(i)] = {
+                        "w": np.ascontiguousarray(w, np.float32),
+                        "gamma": gamma.copy(), "beta": beta.copy()}
+                    batch_stats[layer_key(i)] = {
+                        "mean": mean.copy(), "var": var.copy()}
+            else:
+                params[layer_key(i)] = {
+                    "w": np.ascontiguousarray(w, np.float32),
+                    "b": bias.copy()}
+        elif isinstance(spec, S.Dense):
+            fan_in, units = prev[1], spec.units
+            bias, ptr = _take(buf, ptr, units)
+            flat, ptr = _take(buf, ptr, fan_in * units)
+            w = flat.reshape(units, fan_in).T  # -> (In, Out)
+            params[layer_key(i)] = {
+                "w": np.ascontiguousarray(w, np.float32), "b": bias.copy()}
+        prev = shapes[i]
+
+    if ptr != buf.size:
+        raise WeightsFormatError(
+            f"weights file has {buf.size - ptr} unconsumed floats "
+            f"(consumed {ptr}); spec/weights mismatch")
+    return params, batch_stats, header
+
+
+def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
+                         seen: int = 0, in_channels: int = 3):
+    """Write params back to darknet .weights (the save_weights_upto
+    equivalent, src/parser.c:992). Requires unfolded BN params for BN convs."""
+    shapes = infer_shapes(specs, (1, input_size, input_size, in_channels))
+    with open(path, "wb") as fp:
+        write_header(fp, seen=seen)
+        prev = (1, input_size, input_size, in_channels)
+        for i, spec in enumerate(specs):
+            key = layer_key(i)
+            if isinstance(spec, S.Conv):
+                p = {k: np.asarray(v, np.float32) for k, v in params[key].items()}
+                if spec.bn:
+                    if "gamma" not in p:
+                        raise ValueError(
+                            f"{key}: cannot serialize folded BN back to .weights")
+                    st = {k: np.asarray(v, np.float32)
+                          for k, v in batch_stats[key].items()}
+                    for arr in (p["beta"], p["gamma"], st["mean"], st["var"]):
+                        fp.write(arr.tobytes())
+                else:
+                    fp.write(p["b"].tobytes())
+                fp.write(p["w"].transpose(3, 2, 0, 1).tobytes())  # HWIO -> OIHW
+            elif isinstance(spec, S.Dense):
+                p = {k: np.asarray(v, np.float32) for k, v in params[key].items()}
+                fp.write(p["b"].tobytes())
+                fp.write(p["w"].T.tobytes())  # (In,Out) -> (Out,In)
+            prev = shapes[i]
+
+
+def param_count(specs, input_size: int, *, in_channels: int = 3,
+                with_bn: bool = True) -> int:
+    """Number of float32s a .weights payload must contain for ``specs`` —
+    the offset/total-count gate the reference only checked by eye via
+    printed byte offsets (YOLO_V3_convert...py:143-168)."""
+    shapes = infer_shapes(specs, (1, input_size, input_size, in_channels))
+    prev = (1, input_size, input_size, in_channels)
+    total = 0
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            cin = prev[3]
+            total += spec.filters * (4 if (spec.bn and with_bn) else 1)
+            total += spec.filters * cin * spec.size * spec.size
+        elif isinstance(spec, S.Dense):
+            total += spec.units + prev[1] * spec.units
+        prev = shapes[i]
+    return total

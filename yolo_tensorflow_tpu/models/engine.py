@@ -1,0 +1,216 @@
+"""Functional interpreter for layer specs: params pytree + pure apply fn.
+
+Replaces the reference's graph builders and darknet's ``forward_network``
+(src/network.c:188): one engine executes every model variant. Under ``jax.jit``
+the whole spec unrolls into a single XLA computation, so there is no
+per-layer dispatch at run time — the "network executor" IS the compiled
+program.
+
+Parameter pytree layout (dict keyed by zero-padded layer index):
+  folded conv     {"w": HWIO, "b": (Cout,)}                (inference)
+  unfolded conv   {"w": HWIO, "gamma", "beta"}             (training)
+  bias-only conv  {"w": HWIO, "b"}                         (head convs, no BN)
+  dense           {"w": (In, Out), "b": (Out,)}
+Training-mode batch statistics live in a separate ``batch_stats`` pytree
+{"Lxxx": {"mean", "var"}} (flax-style split of params vs. state).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tensorflow_tpu.models import specs as S
+from yolo_tensorflow_tpu.ops import layers as L
+
+
+def layer_key(i: int) -> str:
+    return f"L{i:03d}"
+
+
+def apply(specs, params, x, *, train: bool = False, batch_stats=None,
+          bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None):
+    """Run the network.
+
+    Args:
+      specs: tuple of layer specs (models/specs.py).
+      params: parameter pytree (see module docstring).
+      x: (B, H, W, C) float input, already normalized.
+      train: training mode — BN uses batch statistics (returned), dropout on.
+      batch_stats: running BN stats pytree; required if params are unfolded
+        and ``train=False``.
+      bn_eps: batch-norm epsilon (per-model, from ModelConfig).
+      compute_dtype: conv compute dtype (e.g. jnp.bfloat16); None = input dtype.
+      dropout_rng: PRNG key, required when train=True and the spec has Dropout.
+
+    Returns:
+      (detections, aux): ``detections`` is a list of (feature_map, Detect spec)
+      for every Detect marker, in spec order; ``aux`` is a dict with
+      "batch_stats" updates when train=True.
+    """
+    outputs = []
+    detections = []
+    new_stats: Dict[str, Any] = {}
+
+    def fetch(ref, i):
+        r = S.resolve_ref(ref, i)
+        return x if r == S.INPUT else outputs[r]
+
+    cur = x
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            p = params[layer_key(i)]
+            if spec.bn and "gamma" in p:
+                cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
+                               compute_dtype=compute_dtype)
+                if train:
+                    cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"], bn_eps)
+                    new_stats[layer_key(i)] = {"mean": m, "var": v}
+                else:
+                    st = batch_stats[layer_key(i)]
+                    cur = L.batch_norm_inference(
+                        cur, p["gamma"], p["beta"], st["mean"], st["var"], bn_eps)
+            else:
+                # folded or bias-only conv
+                cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride,
+                               compute_dtype=compute_dtype)
+            if spec.act == "leaky":
+                cur = L.leaky_relu(cur)
+        elif isinstance(spec, S.MaxPool):
+            cur = L.max_pool(cur, spec.size, spec.stride)
+        elif isinstance(spec, S.Route):
+            tensors = [fetch(r, i) for r in spec.refs]
+            cur = tensors[0] if len(tensors) == 1 else jnp.concatenate(tensors, axis=-1)
+        elif isinstance(spec, S.Shortcut):
+            cur = cur + fetch(spec.ref, i)
+        elif isinstance(spec, S.Reorg):
+            cur = L.space_to_depth(cur, spec.stride)
+        elif isinstance(spec, S.Upsample):
+            fn = L.upsample_nearest if spec.mode == "nearest" else L.upsample_bilinear_sym
+            cur = fn(cur, spec.factor)
+        elif isinstance(spec, S.TransposeFlatten):
+            cur = L.transpose_flatten(cur)
+        elif isinstance(spec, S.Dense):
+            p = params[layer_key(i)]
+            act = L.leaky_relu if spec.act == "leaky" else None
+            cur = L.dense(cur, p["w"], p["b"], act)
+        elif isinstance(spec, S.Dropout):
+            if train:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                cur = L.dropout(cur, spec.rate, sub)
+            # inference: identity
+        elif isinstance(spec, S.Detect):
+            detections.append((cur, spec))
+        else:  # pragma: no cover
+            raise TypeError(f"unknown spec {spec!r}")
+        outputs.append(cur)
+
+    aux = {"batch_stats": new_stats} if train else {}
+    return detections, aux
+
+
+def infer_shapes(specs, input_shape) -> list:
+    """Static shape inference (B treated symbolically as input_shape[0]).
+    Mirrors what the reference prints per layer (print_activations,
+    model_darknet19_slim.py:109) and what darknet prints at cfg parse."""
+    shapes = []
+
+    def get(ref, i):
+        r = S.resolve_ref(ref, i)
+        return input_shape if r == S.INPUT else shapes[r]
+
+    cur = tuple(input_shape)
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            b, h, w, c = cur
+            k, s = spec.size, spec.stride
+            p = k // 2
+            oh = (h + 2 * p - k) // s + 1
+            ow = (w + 2 * p - k) // s + 1
+            cur = (b, oh, ow, spec.filters)
+        elif isinstance(spec, S.MaxPool):
+            b, h, w, c = cur
+            if spec.stride == spec.size:
+                cur = (b, h // spec.stride, w // spec.stride, c)
+            else:  # SAME
+                cur = (b, -(-h // spec.stride), -(-w // spec.stride), c)
+        elif isinstance(spec, S.Route):
+            ts = [get(r, i) for r in spec.refs]
+            cur = (*ts[0][:3], sum(t[3] for t in ts))
+        elif isinstance(spec, S.Shortcut):
+            pass
+        elif isinstance(spec, S.Reorg):
+            b, h, w, c = cur
+            st = spec.stride
+            cur = (b, h // st, w // st, c * st * st)
+        elif isinstance(spec, S.Upsample):
+            b, h, w, c = cur
+            cur = (b, h * spec.factor, w * spec.factor, c)
+        elif isinstance(spec, S.TransposeFlatten):
+            b, h, w, c = cur
+            cur = (b, c * h * w)
+        elif isinstance(spec, S.Dense):
+            cur = (cur[0], spec.units)
+        elif isinstance(spec, (S.Dropout, S.Detect)):
+            pass
+        shapes.append(cur)
+    return shapes
+
+
+def count_flops(specs, input_shape) -> float:
+    """Total forward FLOPs (multiply+add = 2), comparable to the BFLOP
+    column darknet prints (e.g. YOLO_V2/.../yolov2.txt)."""
+    shapes = infer_shapes(specs, input_shape)
+    total = 0.0
+    prev = tuple(input_shape)
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            _, oh, ow, co = shapes[i]
+            ci = prev[3]
+            total += 2.0 * oh * ow * co * ci * spec.size * spec.size
+        elif isinstance(spec, S.Dense):
+            total += 2.0 * prev[1] * spec.units
+        prev = shapes[i]
+    return total
+
+
+def init_params(specs, input_shape, rng, *, folded: bool = False,
+                dtype=jnp.float32):
+    """Random init for training from scratch (darknet-style scaled uniform,
+    src/convolutional_layer.c make_convolutional_layer rand_normal*sqrt(2/n)).
+
+    Returns (params, batch_stats); batch_stats is empty when folded=True.
+    """
+    shapes = infer_shapes(specs, input_shape)
+    params, stats = {}, {}
+    prev_c = input_shape[3] if len(input_shape) == 4 else input_shape[1]
+    prev = tuple(input_shape)
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            rng, sub = jax.random.split(rng)
+            cin = prev[3]
+            n = spec.size * spec.size * cin
+            w = jax.random.normal(sub, (spec.size, spec.size, cin, spec.filters),
+                                  dtype) * np.sqrt(2.0 / n)
+            p = {"w": w}
+            if spec.bn and not folded:
+                p["gamma"] = jnp.ones((spec.filters,), dtype)
+                p["beta"] = jnp.zeros((spec.filters,), dtype)
+                stats[layer_key(i)] = {
+                    "mean": jnp.zeros((spec.filters,), dtype),
+                    "var": jnp.ones((spec.filters,), dtype),
+                }
+            else:
+                p["b"] = jnp.zeros((spec.filters,), dtype)
+            params[layer_key(i)] = p
+        elif isinstance(spec, S.Dense):
+            rng, sub = jax.random.split(rng)
+            fan_in = prev[1]
+            w = jax.random.normal(sub, (fan_in, spec.units), dtype) * np.sqrt(2.0 / fan_in)
+            params[layer_key(i)] = {"w": w, "b": jnp.zeros((spec.units,), dtype)}
+        prev = shapes[i]
+    return params, stats

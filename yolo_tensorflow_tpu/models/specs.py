@@ -1,0 +1,209 @@
+"""Declarative layer specs — the framework's replacement for darknet ``.cfg``.
+
+The reference defines each network twice: once as a darknet ``.cfg`` parsed by
+src/parser.c:730 and once as hand-written TF-Slim graph builders (e.g.
+YOLO_V3/.../YOLOV3.py:274, YOLO_V2/.../model_darknet19.py:71). Here a network
+is a flat tuple of small frozen dataclasses; one functional engine
+(models/engine.py) interprets it, one loader (io/weights.py) walks it to
+consume a ``.weights`` byte stream, and one FLOP counter prices it. No name
+sniffing, no per-model copies.
+
+Index convention: every spec produces exactly one output tensor, appended to
+an outputs list; ``Route``/``Shortcut`` refer to earlier outputs by absolute
+index (negative indices count back from the current position, darknet-style).
+The network input is available as index ``INPUT`` (-(len so far)-1 handled by
+the engine as a special case).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Tuple
+
+INPUT = "input"  # sentinel usable in Route/Shortcut refs
+
+
+@dataclass(frozen=True)
+class Conv:
+    """Convolution (+ optional batch norm) + activation.
+
+    Darknet pad semantics: explicit ``size // 2`` zero padding on every side,
+    matching both src/convolutional_layer.c and the reference TF builders'
+    explicit-pad / fixed-pad idioms (model_darknet19.py:24-27,
+    YOLOV3.py:53-57, YOLO_V1_Inference.py:136).
+    """
+
+    filters: int
+    size: int
+    stride: int = 1
+    bn: bool = True
+    act: str = "leaky"  # "leaky" | "linear"
+
+
+@dataclass(frozen=True)
+class MaxPool:
+    """Max pooling. ``stride=1, size=2`` uses SAME (end) padding — the
+    stride-1 pool6 used by the tiny models (YOLO_V2_Tiny_Voc_convert...py:214,
+    YOLO_V3_Tiny_convert...py:446)."""
+
+    size: int = 2
+    stride: int = 2
+
+
+@dataclass(frozen=True)
+class Route:
+    """Select one earlier output or concatenate several along channels
+    (darknet route layer, src/route_layer.c; tf.concat in the reference)."""
+
+    refs: Tuple = ()
+
+
+@dataclass(frozen=True)
+class Shortcut:
+    """Residual add with an earlier output (src/shortcut_layer.c;
+    YOLOV3.py:60-66 ``_darknet53_block``)."""
+
+    ref: int = -3
+
+
+@dataclass(frozen=True)
+class Reorg:
+    """Space-to-depth passthrough (YOLOv2). Matches tf.space_to_depth
+    channel ordering as used by the reference (model_darknet19.py:41-44)."""
+
+    stride: int = 2
+
+
+@dataclass(frozen=True)
+class Upsample:
+    """2x spatial upsample. ``mode='nearest'`` matches darknet
+    (src/upsample_layer.c); ``mode='bilinear_sym'`` reproduces the reference
+    TF approximation (SYMMETRIC pad + resize_bilinear + crop, YOLOV3.py:241)."""
+
+    factor: int = 2
+    mode: str = "nearest"
+
+
+@dataclass(frozen=True)
+class TransposeFlatten:
+    """NHWC -> NCHW -> flatten, the YOLOv1 FC-head layout quirk
+    (YOLO_V1_Inference.py:196-198 trans_31/flat_32). The darknet FC weights
+    expect the C,H,W flatten order."""
+
+
+@dataclass(frozen=True)
+class Dense:
+    """Fully connected layer (darknet 'connected'; YOLOv1 heads)."""
+
+    units: int
+    act: str = "leaky"  # "leaky" | "linear"
+
+
+@dataclass(frozen=True)
+class Dropout:
+    """Train-only dropout (YOLO_V1_Inference.py:201 dropout_35)."""
+
+    rate: float = 0.5
+
+
+@dataclass(frozen=True)
+class Detect:
+    """Marks the previous layer's output as a raw detection feature map and
+    records which anchor slice decodes it. ``anchor_mask`` indexes into the
+    model's full anchor table (YOLOv3's mask, src/parser.c yolo section)."""
+
+    anchor_mask: Tuple[int, ...] = ()
+
+
+SpecT = (Conv, MaxPool, Route, Shortcut, Reorg, Upsample,
+         TransposeFlatten, Dense, Dropout, Detect)
+
+
+def has_params(spec) -> bool:
+    return isinstance(spec, (Conv, Dense))
+
+
+class SpecBuilder:
+    """Tiny helper to build spec tuples while tracking indices."""
+
+    def __init__(self):
+        self._specs = []
+
+    def add(self, spec) -> int:
+        self._specs.append(spec)
+        return len(self._specs) - 1
+
+    def conv(self, filters, size, stride=1, bn=True, act="leaky") -> int:
+        return self.add(Conv(filters, size, stride, bn, act))
+
+    def maxpool(self, size=2, stride=2) -> int:
+        return self.add(MaxPool(size, stride))
+
+    def route(self, *refs) -> int:
+        return self.add(Route(tuple(refs)))
+
+    def shortcut(self, ref) -> int:
+        return self.add(Shortcut(ref))
+
+    def reorg(self, stride=2) -> int:
+        return self.add(Reorg(stride))
+
+    def upsample(self, mode="nearest") -> int:
+        return self.add(Upsample(2, mode))
+
+    def transpose_flatten(self) -> int:
+        return self.add(TransposeFlatten())
+
+    def dense(self, units, act="leaky") -> int:
+        return self.add(Dense(units, act))
+
+    def dropout(self, rate=0.5) -> int:
+        return self.add(Dropout(rate))
+
+    def detect(self, anchor_mask) -> int:
+        return self.add(Detect(tuple(anchor_mask)))
+
+    def specs(self) -> Tuple:
+        return tuple(self._specs)
+
+    @property
+    def last(self) -> int:
+        return len(self._specs) - 1
+
+
+def validate(specs) -> None:
+    """Static sanity check: every Route/Shortcut ref resolves to an earlier
+    layer, every Detect follows a layer, param layers are well formed."""
+    n = len(specs)
+    for i, s in enumerate(specs):
+        if isinstance(s, Route):
+            if not s.refs:
+                raise ValueError(f"layer {i}: Route with no refs")
+            for r in s.refs:
+                _resolve(r, i, n)
+        elif isinstance(s, Shortcut):
+            _resolve(s.ref, i, n)
+        elif isinstance(s, Detect):
+            if i == 0:
+                raise ValueError("Detect cannot be the first layer")
+        elif not isinstance(s, SpecT):
+            raise TypeError(f"layer {i}: unknown spec {s!r}")
+
+
+def _resolve(ref, i, n) -> int:
+    if ref == INPUT:
+        return -1
+    if ref < 0:
+        ref = i + ref
+    if not (0 <= ref < i):
+        raise ValueError(f"layer {i}: ref {ref} out of range")
+    return ref
+
+
+def resolve_ref(ref, i):
+    """Resolve a Route/Shortcut ref at layer ``i`` to an absolute index
+    (or INPUT)."""
+    if ref == INPUT:
+        return INPUT
+    return i + ref if ref < 0 else ref

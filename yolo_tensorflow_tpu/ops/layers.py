@@ -1,0 +1,146 @@
+"""Primitive compute ops, TPU-first.
+
+These replace the darknet layer kernels (src/convolutional_layer.c,
+src/maxpool_layer.c, src/reorg_layer.c, src/upsample_layer.c,
+src/shortcut_layer.c, src/connected_layer.c and their .cu twins) with XLA
+ops that tile onto the MXU/VPU. Layout is NHWC throughout — channels on the
+TPU lane dimension. Convolutions run in a configurable compute dtype
+(bfloat16 by default on TPU) with float32 accumulation via
+``preferred_element_type``; XLA fuses the bias add and leaky ReLU into the
+convolution epilogue, which is the TPU-idiomatic equivalent of darknet's
+hand-fused ``forward_convolutional_layer`` (im2col+gemm+bias+activation).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def leaky_relu(x, alpha=0.1):
+    """LEAKY activation, alpha=0.1 everywhere in the reference
+    (src/activations.h leaky_activate; YOLOV3.py:10 _LEAKY_RELU)."""
+    return jnp.maximum(x * alpha, x)
+
+
+def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None):
+    """Conv with darknet explicit padding (size//2 per side).
+
+    x: (B, H, W, Cin); w: (kh, kw, Cin, Cout) HWIO; b: (Cout,) or None.
+    Accumulates in float32 regardless of compute dtype. When compute_dtype
+    is None (parity mode) we force exact f32 multiplies (Precision.HIGHEST);
+    with an explicit low-precision compute_dtype (bf16 serving) the operands
+    are already narrow, so the MXU-native default precision applies.
+    """
+    k = w.shape[0]
+    if pad is None:
+        pad = k // 2
+    precision = lax.Precision.HIGHEST if compute_dtype is None else None
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_CONV_DIMS,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def batch_norm_inference(x, gamma, beta, mean, var, eps):
+    """Inference-mode BN (rolling statistics). Only used when parameters are
+    kept unfolded (training graphs); detection inference folds BN into the
+    conv at load time instead (io/weights.py)."""
+    inv = gamma * lax.rsqrt(var + eps)
+    return x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
+
+
+def batch_norm_train(x, gamma, beta, eps):
+    """Training-mode BN over (B, H, W). Returns (y, batch_mean, batch_var);
+    the train loop folds the batch stats into the running averages with the
+    model's momentum (reference: model_darknet19.py:31 momentum=0.9,
+    YOLOV3.py:8 decay=0.9)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    var = jnp.var(x32, axis=(0, 1, 2))
+    inv = gamma * lax.rsqrt(var + eps)
+    y = x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
+    return y, mean, var
+
+
+def max_pool(x, size=2, stride=2):
+    """Max pool. stride==size uses VALID; stride<size (the tiny models'
+    stride-1 size-2 pool6) uses SAME end-padding, matching
+    slim.max_pool2d(..., stride=1, padding='SAME')."""
+    padding = "VALID" if stride == size else "SAME"
+    return lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding,
+    )
+
+
+def space_to_depth(x, block=2):
+    """Reorg/passthrough with tf.space_to_depth channel order:
+    out[b,i,j,(di*block+dj)*C + c] = in[b, block*i+di, block*j+dj, c]
+    (the reference uses tf.space_to_depth, model_darknet19.py:41-44)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def upsample_nearest(x, factor=2):
+    """Nearest-neighbour 2x upsample — darknet semantics
+    (src/upsample_layer.c). Broadcast+reshape keeps it a pure layout op that
+    XLA fuses with the following concat/conv."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def upsample_bilinear_sym(x, factor=2):
+    """The reference TF approximation of darknet upsample: SYMMETRIC pad by
+    1 px, bilinear resize to 2*(H+2) - effectively +4, crop 2 px each side
+    (YOLOV3.py:241-271 _upsample). Provided for graph-parity experiments;
+    the default everywhere is ``upsample_nearest``."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="symmetric")
+    out = jax.image.resize(
+        xp, (b, (h + 2) * factor, (w + 2) * factor, c), method="bilinear")
+    crop = factor
+    return out[:, crop:-crop, crop:-crop, :]
+
+
+def dense(x, w, b, act=None):
+    """Fully connected: x (B, In) @ w (In, Out) + b."""
+    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    out = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32,
+                  precision=precision)
+    out = out + b.astype(out.dtype)
+    if act is not None:
+        out = act(out)
+    return out
+
+
+def transpose_flatten(x):
+    """NHWC -> NCHW -> (B, C*H*W): YOLOv1's FC input layout
+    (YOLO_V1_Inference.py:196-198)."""
+    b = x.shape[0]
+    return x.transpose(0, 3, 1, 2).reshape(b, -1)
+
+
+def dropout(x, rate, rng):
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

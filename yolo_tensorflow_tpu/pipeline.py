@@ -1,0 +1,131 @@
+"""End-to-end detection pipeline: one jit from uint8 pixels to boxes.
+
+The reference's constructor-does-everything classes (``Yolo``/``YOLOV2``/
+``YOLOV3``, e.g. YOLO_V3_convert...py:53) become a single ``Detector`` over
+any model config. The whole hot path — normalize, backbone, decode,
+threshold, NMS — is one compiled XLA program with static shapes; the only
+host work is image decode + resize (and that can batch through the native
+prefetcher in data/loader.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.io import weights as W
+from yolo_tensorflow_tpu.models import engine, heads
+from yolo_tensorflow_tpu.post import nms as NMS
+
+
+def normalize_images(images_uint8, cfg: C.ModelConfig, dtype=jnp.float32):
+    """uint8 (B,H,W,3) -> float. 'unit': x/scale (v2/v3; scale=225 quirk
+    reproducible via cfg.input_scale); 'symmetric': (x/255)*2-1 (v1,
+    YOLO_V1_Inference.py:69)."""
+    x = images_uint8.astype(dtype)
+    if cfg.normalization == "symmetric":
+        return (x / 255.0) * 2.0 - 1.0
+    return x / cfg.input_scale
+
+
+def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
+                 num_candidates: int = 256,
+                 max_detections: Optional[int] = None,
+                 conf_threshold: Optional[float] = None,
+                 iou_threshold: Optional[float] = None,
+                 class_aware_nms: Optional[bool] = None):
+    """Build the pure forward fn: (params, uint8 images) -> Detections."""
+    max_det = cfg.max_detections if max_detections is None else max_detections
+    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
+    iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
+    class_aware = cfg.class_aware_nms if class_aware_nms is None else class_aware_nms
+
+    def forward(params, images_uint8):
+        x = normalize_images(images_uint8, cfg,
+                             compute_dtype or jnp.float32)
+        dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
+                               compute_dtype=compute_dtype)
+        boxes_xywh, conf, probs = heads.decode(dets, cfg)
+        boxes = heads.xywh_to_xyxy(boxes_xywh)
+        return NMS.batched_nms(
+            boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
+            max_detections=max_det, num_candidates=num_candidates,
+            class_aware=class_aware)
+
+    return forward
+
+
+class Detector:
+    """Load a model + weights once, detect many times.
+
+    API mirrors the reference driver classes: ``detect(image)`` on a raw
+    HWC uint8 array (any size; host-resized like the in-graph
+    ``_input_process`` resize), ``detect_batch`` on a pre-sized uint8 batch
+    for throughput serving.
+    """
+
+    def __init__(self, model: str, weights_path: Optional[str] = None, *,
+                 params=None, compute_dtype=None, donate: bool = False,
+                 **overrides):
+        nms_keys = {"num_candidates", "max_detections", "conf_threshold",
+                    "iou_threshold", "class_aware_nms"}
+        nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
+                      if k in nms_keys}
+        self.cfg = C.get_config(model, **overrides)
+        self.specs = C.build_specs(self.cfg)
+        if params is None:
+            if weights_path is None:
+                raise ValueError("need weights_path or params")
+            # header_ints=None: the darknet version rule (seen is int64 iff
+            # major*10+minor >= 2) parses every era correctly — more robust
+            # than the reference's hard-coded count=4/count=5 per model.
+            params, _, self.header = W.load_darknet_weights(
+                self.specs, self.cfg.input_size, weights_path,
+                header_ints=None, bn_eps=self.cfg.bn_eps, fold=True)
+        self.params = jax.device_put(
+            jax.tree.map(jnp.asarray, params))
+        fwd = make_forward(self.cfg, self.specs,
+                           compute_dtype=compute_dtype, **nms_kwargs)
+        self._jit_forward = jax.jit(fwd, donate_argnums=(1,) if donate else ())
+
+    # -- single image ------------------------------------------------------
+    def detect(self, image: np.ndarray):
+        """image: HWC uint8 (RGB). Returns a list of dicts with pixel-space
+        boxes scaled back to the original image (like the reference's
+        host-side ratio->pixel conversion, YOLO_V1_Inference.py:386-391)."""
+        h, w = image.shape[:2]
+        s = self.cfg.input_size
+        import cv2
+        resized = cv2.resize(image, (s, s), interpolation=cv2.INTER_LINEAR)
+        dets = self._jit_forward(self.params, resized[None])
+        dets = jax.tree.map(np.asarray, dets)
+        out = []
+        for i in range(int(dets.num[0])):
+            x0, y0, x1, y1 = dets.boxes[0, i]
+            out.append({
+                "class_id": int(dets.classes[0, i]),
+                "class": self.cfg.classes[int(dets.classes[0, i])],
+                "score": float(dets.scores[0, i]),
+                "box": (float(x0 * w), float(y0 * h),
+                        float(x1 * w), float(y1 * h)),
+            })
+        return out
+
+    # -- batched ------------------------------------------------------------
+    def detect_batch(self, images_uint8) -> NMS.Detections:
+        """images_uint8: (B, S, S, 3) uint8 already sized to the model input.
+        Returns device-resident fixed-shape Detections."""
+        return self._jit_forward(self.params, images_uint8)
+
+    def detect_from_file(self, path: str):
+        import cv2
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return self.detect(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))

@@ -1,0 +1,124 @@
+"""Static-shape, on-device batched NMS.
+
+The reference filters with ``tf.boolean_mask`` and runs variable-N
+``tf.image.non_max_suppression`` (YOLOV3.py:353-370) — dynamic shapes that
+cannot compile for TPU. Here detection stays fixed-shape end to end:
+
+  1. score = conf * class_prob, per-box argmax label (class-specific score,
+     same math as the reference's "class-specific" scopes),
+  2. ``lax.top_k`` selects K candidates (scores below the confidence
+     threshold are sunk with a -1 sentinel),
+  3. exact greedy NMS as a monotone fixpoint over a K x K IoU matrix: box j
+     is suppressed iff some higher-ranked *kept* box overlaps it; iterating
+     converges to exactly the sequential-greedy result (verified against a
+     numpy greedy oracle in tests/test_nms.py), in a bounded
+     ``lax.while_loop`` instead of a sequential O(K) scan — a handful of
+     cheap (K, K) VPU passes on TPU,
+  4. ``lax.top_k`` again for the final max_detections slots + a valid mask
+     (the ``valid_count`` output replaces dynamic output shapes).
+
+Everything vmaps over the batch; per-image work is a few K^2 = 65k element
+ops, negligible next to the backbone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class Detections(NamedTuple):
+    boxes: jax.Array    # (B, D, 4) xmin, ymin, xmax, ymax (normalized)
+    scores: jax.Array   # (B, D)
+    classes: jax.Array  # (B, D) int32
+    valid: jax.Array    # (B, D) bool
+    num: jax.Array      # (B,) int32 valid count
+
+
+def iou_matrix(boxes):
+    """Pairwise IoU for (K, 4) xyxy boxes -> (K, K)."""
+    x0, y0, x1, y1 = (boxes[:, i] for i in range(4))
+    area = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    inter = jnp.maximum(ix1 - ix0, 0) * jnp.maximum(iy1 - iy0, 0)
+    union = area[:, None] + area[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _greedy_keep(iou, active, iou_threshold):
+    """Exact greedy NMS given candidates sorted by descending score.
+
+    keep[j] = active[j] and no i<j with keep[i] and iou[i,j] > thr.
+    Fixpoint iteration from keep=active converges to the greedy solution
+    (suppressed suppressors release their victims each round)."""
+    k = iou.shape[0]
+    higher = jnp.tril(jnp.ones((k, k), bool), k=-1).T  # higher[i, j] = i < j
+    overlap = (iou > iou_threshold) & higher
+
+    def body(state):
+        keep, _ = state
+        suppressed = jnp.any(overlap & keep[:, None], axis=0)
+        new_keep = active & ~suppressed
+        return new_keep, jnp.any(new_keep != keep)
+
+    def cond(state):
+        return state[1]
+
+    keep, _ = lax.while_loop(cond, body, (active, jnp.bool_(True)))
+    return keep
+
+
+def _nms_single(boxes, scores, labels, *, conf_threshold, iou_threshold,
+                max_detections, num_candidates, class_aware):
+    """boxes (N,4) xyxy, scores (N,), labels (N,) int32 -> fixed-size dets."""
+    n = scores.shape[0]
+    k = min(num_candidates, n)
+    active0 = scores > conf_threshold
+    masked = jnp.where(active0, scores, -1.0)
+    top_scores, idx = lax.top_k(masked, k)
+    top_boxes = boxes[idx]
+    top_labels = labels[idx]
+    active = top_scores > conf_threshold
+
+    iou = iou_matrix(top_boxes)
+    if class_aware:
+        same = top_labels[:, None] == top_labels[None, :]
+        iou = jnp.where(same, iou, 0.0)
+
+    keep = _greedy_keep(iou, active, iou_threshold)
+
+    final = jnp.where(keep, top_scores, -1.0)
+    out_scores, sel = lax.top_k(final, max_detections)
+    valid = out_scores > conf_threshold
+    out_boxes = jnp.where(valid[:, None], top_boxes[sel], 0.0)
+    out_labels = jnp.where(valid, top_labels[sel], 0)
+    out_scores = jnp.where(valid, out_scores, 0.0)
+    return out_boxes, out_scores, out_labels, valid, jnp.sum(valid.astype(jnp.int32))
+
+
+def batched_nms(boxes_xyxy, conf, class_probs, *, conf_threshold=0.5,
+                iou_threshold=0.5, max_detections=20, num_candidates=256,
+                class_aware=False) -> Detections:
+    """Full select-threshold + NMS stage.
+
+    boxes_xyxy (B, N, 4); conf (B, N); class_probs (B, N, C).
+    Scoring matches the reference: score = conf * class_prob, label = argmax
+    over the class-specific scores (YOLOV3.py:353-362, postprocess.py:47-64).
+    """
+    scores_all = conf[..., None] * class_probs
+    labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+    scores = jnp.max(scores_all, axis=-1)
+
+    fn = functools.partial(
+        _nms_single, conf_threshold=conf_threshold,
+        iou_threshold=iou_threshold, max_detections=max_detections,
+        num_candidates=num_candidates, class_aware=class_aware)
+    b, s, c, v, n = jax.vmap(fn)(boxes_xyxy, scores, labels)
+    return Detections(b, s, c, v, n)
