@@ -1,0 +1,65 @@
+"""Checkpoint save/restore/resume gates."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.io import checkpoint as ckpt
+from yolo_tensorflow_tpu.train import loop as T
+
+
+def _state():
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    tx = T.make_optimizer(T.darknet_lr_schedule(1e-3))
+    return cfg, tx, T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                         input_size=64)
+
+
+def test_roundtrip(tmp_path):
+    cfg, tx, state = _state()
+    ckpt.save_train_state(state, str(tmp_path), 7)
+    restored, step = ckpt.restore_train_state(state, str(tmp_path))
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prune_keeps_latest(tmp_path):
+    cfg, tx, state = _state()
+    for s in (1, 2, 3, 4, 5):
+        ckpt.save_train_state(state, str(tmp_path), s, keep=2)
+    files = sorted(p.name for p in tmp_path.glob("ckpt-*.npz"))
+    assert files == ["ckpt-4.npz", "ckpt-5.npz"]
+    _, step = ckpt.restore_train_state(state, str(tmp_path))
+    assert step == 5
+
+
+def test_restore_missing(tmp_path):
+    cfg, tx, state = _state()
+    restored, step = ckpt.restore_train_state(state, str(tmp_path))
+    assert restored is None and step == 0
+
+
+def test_resume_continues_training(tmp_path):
+    """Save mid-training, restore, and confirm the next step is identical to
+    an uninterrupted run — the resume-from-.backup contract."""
+    cfg, tx, state = _state()
+    step_fn = jax.jit(T.make_train_step(cfg, tx, input_size=64))
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+    truths = np.zeros((2, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.5, 0.5, 1]
+
+    s1, _ = step_fn(state, images, truths)
+    ckpt.save_train_state(s1, str(tmp_path), 1)
+    s2_direct, m_direct = step_fn(s1, images, truths)
+
+    s1r, step = ckpt.restore_train_state(s1, str(tmp_path))
+    assert step == 1
+    s2_resumed, m_resumed = step_fn(s1r, images, truths)
+    np.testing.assert_allclose(float(m_direct["cost"]),
+                               float(m_resumed["cost"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s2_direct.params),
+                    jax.tree.leaves(s2_resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)

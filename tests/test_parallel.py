@@ -1,0 +1,110 @@
+"""Multi-device gates on the 8-virtual-CPU mesh: sharded training step
+(DP + spatial), gradient equivalence vs single device, inference sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.models import engine
+from yolo_tensorflow_tpu.parallel import mesh as M
+from yolo_tensorflow_tpu.pipeline import make_forward
+from yolo_tensorflow_tpu.train import loop as T
+
+
+SIZE = 64  # tiny input; yolov3-tiny grids 2x2 and 4x4
+
+
+def _setup(num_data, num_spatial):
+    mesh = M.make_mesh(num_data, num_spatial)
+    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=4))
+    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                 input_size=SIZE)
+    step = T.make_sharded_train_step(cfg, tx, mesh, input_size=SIZE)
+    return mesh, cfg, state, step
+
+
+def _batch(batch):
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (batch, SIZE, SIZE, 3), dtype=np.uint8)
+    truths = np.zeros((batch, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.7, 0.7, 3.0]
+    truths[:, 1] = [0.25, 0.25, 0.2, 0.3, 1.0]
+    return images, truths
+
+
+def test_dp_spatial_train_step_runs():
+    mesh, cfg, state, step = _setup(4, 2)
+    images, truths = _batch(8)
+    with mesh:
+        im, tr = M.shard_batch(mesh, images, truths)
+        state, metrics = step(state, im, tr)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["cost"]))
+
+
+def test_dp_matches_single_device():
+    """Gradient all-reduce over the mesh must give the same step as one
+    device — the property sync_nets weight-averaging only approximated."""
+    images, truths = _batch(8)
+
+    mesh1, cfg, state1, step1 = _setup(1, 1)
+    with mesh1:
+        im, tr = M.shard_batch(mesh1, images, truths)
+        state1, m1 = step1(state1, im, tr)
+
+    mesh8, _, state8, step8 = _setup(8, 1)
+    with mesh8:
+        im, tr = M.shard_batch(mesh8, images, truths)
+        state8, m8 = step8(state8, im, tr)
+
+    np.testing.assert_allclose(float(m1["cost"]), float(m8["cost"]),
+                               rtol=1e-4)
+    p1 = jax.tree.leaves(state1.params)
+    p8 = jax.tree.leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_two_steps_update_stats_and_params():
+    mesh, cfg, state, step = _setup(2, 1)
+    images, truths = _batch(4)
+    p0 = jax.tree.map(np.asarray, state.params)
+    s0 = jax.tree.map(np.asarray, state.batch_stats)
+    with mesh:
+        im, tr = M.shard_batch(mesh, images, truths)
+        state, _ = step(state, im, tr)
+        state, metrics = step(state, im, tr)
+    assert int(state.step) == 2
+    changed_w = any(
+        not np.allclose(a, b) for a, b in
+        zip(jax.tree.leaves(p0), jax.tree.leaves(jax.tree.map(np.asarray, state.params))))
+    changed_s = any(
+        not np.allclose(a, b) for a, b in
+        zip(jax.tree.leaves(s0), jax.tree.leaves(jax.tree.map(np.asarray, state.batch_stats))))
+    assert changed_w and changed_s
+
+
+def test_sharded_inference_matches_replicated():
+    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, SIZE, SIZE, 3),
+                                   jax.random.PRNGKey(1), folded=True)
+    fwd = make_forward(cfg, specs, num_candidates=32)
+    images = np.random.default_rng(2).integers(
+        0, 255, (8, SIZE, SIZE, 3), dtype=np.uint8)
+
+    ref = jax.jit(fwd)(params, images)
+
+    mesh = M.make_mesh(4, 2)
+    sharded = jax.jit(fwd, in_shardings=(M.replicated(mesh),
+                                         M.image_sharding(mesh)))
+    with mesh:
+        im = jax.device_put(images, M.image_sharding(mesh))
+        got = sharded(params, im)
+    np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(got.scores),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.num), np.asarray(got.num))

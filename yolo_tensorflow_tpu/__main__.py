@@ -1,0 +1,4 @@
+from yolo_tensorflow_tpu.cli import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,236 @@
+"""Unified CLI — replaces the reference's per-model driver scripts and the
+darknet binary's strcmp dispatch (examples/darknet.c:23-75):
+
+  python -m yolo_tensorflow_tpu detect  --model yolov3 --weights w.weights img...
+  python -m yolo_tensorflow_tpu convert --model yolov3 --weights w.weights --out ckpt.npz
+  python -m yolo_tensorflow_tpu export  --model yolov3 --weights w.weights --out model.ytt
+  python -m yolo_tensorflow_tpu train   --model yolov3-tiny --list train.txt ...
+  python -m yolo_tensorflow_tpu eval    --model yolov3 --weights w.weights --voc-root ...
+  python -m yolo_tensorflow_tpu bench   [--batch 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from yolo_tensorflow_tpu.config import MODEL_NAMES
+
+
+def _add_model_args(p, weights_required=True):
+    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--weights", required=weights_required,
+                   help="darknet .weights file (or .npz checkpoint)")
+    p.add_argument("--conf-threshold", type=float, default=None)
+    p.add_argument("--iou-threshold", type=float, default=None)
+    p.add_argument("--max-detections", type=int, default=None)
+    p.add_argument("--input-size", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute (serving mode)")
+
+
+def _build_detector(args):
+    import jax.numpy as jnp
+    from yolo_tensorflow_tpu.pipeline import Detector
+    over = {}
+    if args.input_size:
+        over["input_size"] = args.input_size
+    nms = {k: getattr(args, k) for k in
+           ("conf_threshold", "iou_threshold", "max_detections")
+           if getattr(args, k) is not None}
+    params = None
+    weights = args.weights
+    if weights and weights.endswith(".npz"):
+        params = _load_npz_params(weights)
+        weights = None
+    return Detector(args.model, weights, params=params,
+                    compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                    **over, **nms)
+
+
+def _load_npz_params(path):
+    with np.load(path) as z:
+        params = {}
+        for k in z.files:
+            layer, field = k.rsplit("/", 1)
+            params.setdefault(layer, {})[field] = z[k]
+    return params
+
+
+def _save_npz_params(params, path):
+    flat = {f"{layer}/{field}": np.asarray(v)
+            for layer, d in params.items() for field, v in d.items()}
+    np.savez(path, **flat)
+
+
+def cmd_detect(args):
+    import cv2
+    det = _build_detector(args)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path in args.images:
+        t0 = time.time()
+        results = det.detect_from_file(path)
+        dt = time.time() - t0
+        print(f"{path}: {len(results)} objects in {dt*1e3:.1f} ms")
+        img = cv2.imread(path)
+        for r in results:
+            x0, y0, x1, y1 = (int(v) for v in r["box"])
+            print(f"  {r['class']:<14s} {r['score']:.3f} "
+                  f"[{x0}, {y0}, {x1}, {y1}]")
+            cv2.rectangle(img, (x0, y0), (x1, y1), (0, 255, 0), 2)
+            cv2.putText(img, f"{r['class']} {r['score']:.2f}",
+                        (x0, max(y0 - 6, 12)), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.5, (0, 255, 0), 1)
+        out = os.path.join(args.out_dir,
+                           "detected_" + os.path.basename(path))
+        cv2.imwrite(out, img)
+        if args.boxes_txt:
+            with open(args.boxes_txt, "a") as f:
+                for r in results:
+                    f.write(f"{r['class']},{','.join(f'{v:.1f}' for v in r['box'])},{r['score']:.4f}\n")
+
+
+def cmd_convert(args):
+    det = _build_detector(args)
+    import jax
+    _save_npz_params(jax.tree.map(np.asarray, det.params), args.out)
+    print(f"wrote {args.out} "
+          f"({sum(np.asarray(v).size for d in det.params.values() for v in d.values())} params)")
+
+
+def cmd_export(args):
+    from yolo_tensorflow_tpu.export import export_detector
+    det = _build_detector(args)
+    export_detector(det, args.out, batch_size=args.batch)
+    print(f"wrote {args.out}")
+
+
+def cmd_eval(args):
+    import cv2
+    from yolo_tensorflow_tpu.data.datasets import load_voc, load_coco, load_darknet_list
+    from yolo_tensorflow_tpu.eval.map import evaluate_detections, coco_map
+    det = _build_detector(args)
+    if args.voc_root:
+        samples = load_voc(args.voc_root, args.image_set, args.voc_year)
+    elif args.coco_json:
+        samples = load_coco(args.coco_json, args.image_root)
+    else:
+        samples = load_darknet_list(args.list)
+    if args.limit:
+        samples = samples[:args.limit]
+    dets, gts = [], []
+    for s in samples:
+        img = cv2.cvtColor(cv2.imread(s.image_path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        res = det.detect(img)
+        dets.append({
+            "boxes": np.asarray([r["box"] for r in res], np.float32).reshape(-1, 4),
+            "scores": np.asarray([r["score"] for r in res], np.float32),
+            "classes": np.asarray([r["class_id"] for r in res], np.int32),
+        })
+        gb = s.boxes
+        gts.append({
+            "boxes": np.stack([(gb[:, 0] - gb[:, 2]/2) * w,
+                               (gb[:, 1] - gb[:, 3]/2) * h,
+                               (gb[:, 0] + gb[:, 2]/2) * w,
+                               (gb[:, 1] + gb[:, 3]/2) * h], 1)
+            if len(gb) else np.zeros((0, 4), np.float32),
+            "classes": gb[:, 4].astype(np.int32) if len(gb) else
+            np.zeros((0,), np.int32),
+        })
+    n_cls = det.cfg.num_classes
+    if args.coco_metric:
+        out = coco_map(dets, gts, n_cls)
+    else:
+        out = evaluate_detections(dets, gts, n_cls,
+                                  eleven_point=args.eleven_point)
+    print(json.dumps(out, indent=2, default=float))
+
+
+def cmd_train(args):
+    from yolo_tensorflow_tpu.train.runner import run_training
+    run_training(args)
+
+
+def cmd_bench(args):
+    os.environ["BENCH_BATCH"] = str(args.batch)
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="yolo_tensorflow_tpu")
+    ap.add_argument("--platform", choices=("cpu", "tpu", "axon"),
+                    default=None,
+                    help="force a JAX backend (e.g. cpu for offline use)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("detect", help="detect objects in images")
+    _add_model_args(p)
+    p.add_argument("images", nargs="+")
+    p.add_argument("--out-dir", default="out")
+    p.add_argument("--boxes-txt", default=None,
+                   help="append class,x0,y0,x1,y1,score lines (boxes.txt "
+                        "format of YOLO_V1_Inference.py:418)")
+    p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("convert", help=".weights -> folded .npz checkpoint")
+    _add_model_args(p)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("export", help="serialize inference artifact")
+    _add_model_args(p)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=1)
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("eval", help="mAP evaluation")
+    _add_model_args(p)
+    p.add_argument("--voc-root")
+    p.add_argument("--voc-year", default="2007")
+    p.add_argument("--image-set", default="test")
+    p.add_argument("--coco-json")
+    p.add_argument("--image-root", default=".")
+    p.add_argument("--list", help="darknet-format image list")
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--coco-metric", action="store_true")
+    p.add_argument("--eleven-point", action="store_true")
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("train", help="train a model")
+    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--list", required=True, help="darknet-format image list")
+    p.add_argument("--val-list")
+    p.add_argument("--weights", help="initial weights (.weights or .npz)")
+    p.add_argument("--ckpt-dir", default="ckpts")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--steps", type=int, default=500200)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--burn-in", type=int, default=1000)
+    p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--num-data", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--num-spatial", type=int, default=1)
+    p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=20)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    p.add_argument("--batch", type=int, default=64)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Dataset adapters: PASCAL VOC (XML) and COCO (JSON) -> normalized truth
+boxes.
+
+Replaces the reference's scripts/voc_label.py:7-24 (VOC XML -> darknet txt
+with xywh-normalize `convert`) and the .txt list files darknet's data loader
+consumes (src/data.c fill_truth_detection). Also reads darknet-format label
+txt files directly, so datasets prepared for the reference work unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from yolo_tensorflow_tpu.utils.labels import VOC_CLASSES
+
+
+class Sample:
+    __slots__ = ("image_path", "boxes")
+
+    def __init__(self, image_path: str, boxes: np.ndarray):
+        self.image_path = image_path
+        self.boxes = boxes  # (N, 5) normalized cx, cy, w, h, class
+
+
+def parse_voc_xml(xml_path: str,
+                  class_names: Sequence[str] = VOC_CLASSES) -> np.ndarray:
+    """VOC annotation XML -> (N,5) normalized boxes (voc_label.py convert
+    semantics: xml 1-based corner coords -> center xywh / image size)."""
+    root = ET.parse(xml_path).getroot()
+    size = root.find("size")
+    w = float(size.find("width").text)
+    h = float(size.find("height").text)
+    name_to_id = {n: i for i, n in enumerate(class_names)}
+    rows = []
+    for obj in root.iter("object"):
+        name = obj.find("name").text
+        if name not in name_to_id:
+            continue
+        difficult = obj.find("difficult")
+        if difficult is not None and difficult.text == "1":
+            continue
+        bb = obj.find("bndbox")
+        x0 = float(bb.find("xmin").text)
+        y0 = float(bb.find("ymin").text)
+        x1 = float(bb.find("xmax").text)
+        y1 = float(bb.find("ymax").text)
+        rows.append([(x0 + x1) / 2 / w, (y0 + y1) / 2 / h,
+                     (x1 - x0) / w, (y1 - y0) / h, name_to_id[name]])
+    return np.asarray(rows, np.float32).reshape(-1, 5)
+
+
+def load_voc(root: str, image_set: str = "train",
+             year: str = "2007") -> List[Sample]:
+    """VOCdevkit layout: root/VOC{year}/{ImageSets/Main,Annotations,JPEGImages}."""
+    base = os.path.join(root, f"VOC{year}")
+    ids_file = os.path.join(base, "ImageSets", "Main", image_set + ".txt")
+    with open(ids_file) as f:
+        ids = [line.strip() for line in f if line.strip()]
+    samples = []
+    for i in ids:
+        xml = os.path.join(base, "Annotations", i + ".xml")
+        img = os.path.join(base, "JPEGImages", i + ".jpg")
+        samples.append(Sample(img, parse_voc_xml(xml)))
+    return samples
+
+
+def load_coco(annotation_json: str, image_root: str,
+              category_map: Optional[Dict[int, int]] = None) -> List[Sample]:
+    """COCO instances JSON -> samples. category_map maps COCO category ids
+    to contiguous 0..79 (built from the json if not given)."""
+    with open(annotation_json) as f:
+        coco = json.load(f)
+    if category_map is None:
+        cats = sorted(c["id"] for c in coco["categories"])
+        category_map = {cid: i for i, cid in enumerate(cats)}
+    images = {im["id"]: im for im in coco["images"]}
+    by_image: Dict[int, list] = {}
+    for ann in coco["annotations"]:
+        if ann.get("iscrowd"):
+            continue
+        x, y, w, h = ann["bbox"]  # pixel xywh, top-left origin
+        im = images[ann["image_id"]]
+        iw, ih = im["width"], im["height"]
+        if w <= 1 or h <= 1:
+            continue
+        row = [(x + w / 2) / iw, (y + h / 2) / ih, w / iw, h / ih,
+               category_map[ann["category_id"]]]
+        by_image.setdefault(ann["image_id"], []).append(row)
+    samples = []
+    for img_id, im in images.items():
+        boxes = np.asarray(by_image.get(img_id, []), np.float32).reshape(-1, 5)
+        samples.append(Sample(os.path.join(image_root, im["file_name"]), boxes))
+    return samples
+
+
+def load_darknet_list(list_file: str) -> List[Sample]:
+    """darknet train-list format: one image path per line, labels in a
+    sibling 'labels/xxx.txt' with 'cls cx cy w h' rows (what voc_label.py
+    emits and src/data.c fill_truth_detection reads)."""
+    samples = []
+    with open(list_file) as f:
+        for line in f:
+            img = line.strip()
+            if not img:
+                continue
+            lab = img
+            for a, b in ((os.sep + "images" + os.sep, os.sep + "labels" + os.sep),
+                         (os.sep + "JPEGImages" + os.sep, os.sep + "labels" + os.sep)):
+                lab = lab.replace(a, b)
+            lab = os.path.splitext(lab)[0] + ".txt"
+            rows = []
+            if os.path.exists(lab):
+                with open(lab) as lf:
+                    for r in lf:
+                        p = r.split()
+                        if len(p) == 5:
+                            rows.append([float(p[1]), float(p[2]),
+                                         float(p[3]), float(p[4]), float(p[0])])
+            samples.append(Sample(
+                img, np.asarray(rows, np.float32).reshape(-1, 5)))
+    return samples

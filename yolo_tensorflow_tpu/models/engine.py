@@ -80,6 +80,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                                compute_dtype=compute_dtype)
             if spec.act == "leaky":
                 cur = L.leaky_relu(cur)
+            if compute_dtype is not None and not train:
+                # keep activations narrow between layers: XLA fuses the cast
+                # into the conv epilogue, halving HBM traffic
+                cur = cur.astype(compute_dtype)
         elif isinstance(spec, S.MaxPool):
             cur = L.max_pool(cur, spec.size, spec.stride)
         elif isinstance(spec, S.Route):

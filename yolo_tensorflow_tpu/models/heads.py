@@ -29,6 +29,7 @@ def decode_v1(pred_flat, cfg: ModelConfig):
     x,y are cell offsets, w,h are sqrt of normalized size.
     """
     S, Bx, C = cfg.grid, cfg.boxes_per_cell, cfg.num_classes
+    pred_flat = pred_flat.astype(jnp.float32)
     batch = pred_flat.shape[0]
     i1 = S * S * C
     i2 = i1 + S * S * Bx
@@ -58,7 +59,7 @@ def decode_v2(feat, cfg: ModelConfig):
     """
     A, C = cfg.num_anchors, cfg.num_classes
     batch, H, W, _ = feat.shape
-    det = feat.reshape(batch, H * W, A, 5 + C)
+    det = feat.astype(jnp.float32).reshape(batch, H * W, A, 5 + C)
 
     xy = jax.nn.sigmoid(det[..., 0:2])
     wh = jnp.exp(det[..., 2:4])
@@ -89,7 +90,7 @@ def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int):
     A = len(anchors_px)
     C = num_classes
     batch, Gh, Gw, _ = feat.shape
-    det = feat.reshape(batch, Gh * Gw, A, 5 + C)
+    det = feat.astype(jnp.float32).reshape(batch, Gh * Gw, A, 5 + C)
 
     xy = jax.nn.sigmoid(det[..., 0:2])
     wh = jnp.exp(det[..., 2:4])

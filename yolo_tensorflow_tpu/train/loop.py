@@ -1,0 +1,146 @@
+"""Data-parallel training step + schedules.
+
+Replaces examples/detector.c:6 (train_detector) and src/network.c
+(update_network, SGD+momentum+decay) with a functional optax step, jitted
+over the device mesh. Where darknet averaged *weights* across GPUs every 4
+batches (sync_nets), the sharded jit all-reduces *gradients* every step over
+ICI — GSPMD inserts the psum from the sharding annotations alone.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.models import engine, specs as S
+from yolo_tensorflow_tpu.parallel import mesh as M
+from yolo_tensorflow_tpu.pipeline import normalize_images
+from yolo_tensorflow_tpu.train import losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def darknet_lr_schedule(base_lr: float, *, burn_in: int = 1000,
+                        power: float = 4.0,
+                        steps: Sequence[int] = (400000, 450000),
+                        scales: Sequence[float] = (0.1, 0.1)):
+    """darknet 'steps' policy with burn-in (src/network.c get_current_rate:
+    burn_in ramp lr*(i/burn_in)^power, then piecewise-constant decays)."""
+    def schedule(step):
+        lr = base_lr * jnp.minimum((step.astype(jnp.float32) + 1) / burn_in,
+                                   1.0) ** power
+        factor = jnp.float32(1.0)
+        for s, sc in zip(steps, scales):
+            factor = factor * jnp.where(step >= s, sc, 1.0)
+        return lr * factor
+    return schedule
+
+
+def make_optimizer(schedule, *, momentum: float = 0.9,
+                   weight_decay: float = 5e-4):
+    """SGD + momentum + decoupled weight decay, darknet's update rule
+    (src/convolutional_layer.c update_convolutional_layer: momentum .9,
+    decay .0005 on conv weights, not biases/BN)."""
+    def decay_mask(params):
+        return jax.tree.map_with_path(
+            lambda path, _: path[-1].key == "w", params)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay, mask=decay_mask),
+        optax.sgd(schedule, momentum=momentum),
+    )
+
+
+def create_train_state(cfg: C.ModelConfig, tx, rng, *,
+                       input_size: Optional[int] = None) -> TrainState:
+    specs = C.build_specs(cfg)
+    size = input_size or cfg.input_size
+    params, batch_stats = engine.init_params(
+        specs, (1, size, size, 3), rng, folded=False)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.int32(0),
+                      rng=rng)
+
+
+def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
+                    ignore_thresh=0.5, truth_thresh=1.0, input_size=None):
+    """Dispatch to the v2/v3 loss for the model family."""
+    if cfg.head == 3:
+        masks = [spec.anchor_mask for spec in specs
+                 if isinstance(spec, S.Detect)]
+        eff_cfg = cfg if input_size is None else \
+            C.get_config(cfg.name, input_size=input_size)
+        return losses.yolo_v3_loss(raw_scales, truths, eff_cfg,
+                                   anchor_masks=masks,
+                                   ignore_thresh=ignore_thresh,
+                                   truth_thresh=truth_thresh)
+    if cfg.head == 2:
+        (raw,) = raw_scales
+        grid = raw.shape[1]
+        targets = losses.build_v2_targets(truths, cfg, grid)
+        return losses.yolo_v2_loss(raw, targets, cfg, grid=grid)
+    raise NotImplementedError("v1 training is out of scope (the reference "
+                              "ships no v1 loss either; README todo, "
+                              "YOLO_V3/.../README.md:32-37)")
+
+
+def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
+                    ignore_thresh: float = 0.5, compute_dtype=None):
+    """Build the pure (state, images_u8, truths) -> (state, metrics) step.
+
+    Multi-scale training (darknet's every-10-batches random resize,
+    examples/detector.c:63-82) is expressed by building one step per input
+    size — each compiles once and is cached by shape.
+    """
+    specs = C.build_specs(cfg)
+
+    def loss_fn(params, batch_stats, images, truths, drng):
+        x = normalize_images(images, cfg)
+        dets, aux = engine.apply(specs, params, x, train=True,
+                                 bn_eps=cfg.bn_eps,
+                                 compute_dtype=compute_dtype,
+                                 dropout_rng=drng)
+        raw_scales = [f.astype(jnp.float32) for f, _ in dets]
+        loss, metrics = loss_for_config(
+            cfg, specs, raw_scales, truths,
+            ignore_thresh=ignore_thresh, input_size=input_size)
+        return loss, (aux["batch_stats"], metrics)
+
+    def train_step(state: TrainState, images, truths):
+        rng, drng = jax.random.split(state.rng)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, truths, drng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        m = cfg.bn_momentum
+        batch_stats = jax.tree.map(
+            lambda run, new: m * run + (1.0 - m) * new,
+            state.batch_stats, new_stats) if new_stats else state.batch_stats
+        metrics = dict(metrics, step=state.step)
+        return TrainState(params, batch_stats, opt_state,
+                          state.step + 1, rng), metrics
+
+    return train_step
+
+
+def make_sharded_train_step(cfg: C.ModelConfig, tx, mesh, **kw):
+    """jit the step over the mesh: batch over 'data', activation height over
+    'spatial', params/state replicated. GSPMD inserts the gradient psum."""
+    step = make_train_step(cfg, tx, **kw)
+    rep = M.replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(None, M.image_sharding(mesh), M.batch_sharding(mesh)),
+        out_shardings=None,
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,295 @@
+"""Training losses with darknet-exact gradients.
+
+v3: the semantics of src/yolo_layer.c:132-240 (forward_yolo_layer /
+delta_yolo_box / delta_yolo_class). Darknet builds a ``delta`` tensor
+(target - output, on the *activated* outputs for xy/obj/class and on the
+raw logits for tw/th) and backpropagates it directly — skipping the logistic
+derivative — which makes its effective gradient w.r.t. the raw feature map
+exactly ``-delta``. We reproduce that bit-for-bit with a linear surrogate:
+
+    loss_grad_surrogate = -sum(stop_gradient(delta) * raw)
+
+whose gradient w.r.t. ``raw`` is ``-delta``; the *reported* cost is
+``sum(delta^2)`` like darknet's ``*(l.cost) = pow(mag_array(l.delta),2)``.
+
+v2: the semantics of the reference's training contract,
+YOLO_V2/.../Loss.py:10-79 — weighted MSE in (sigmoid-xy, sqrt-wh) space with
+best-IoU anchor masking. This one is an ordinary differentiable loss.
+
+Everything is batched, static-shape (truths padded to ``max_boxes`` with
+w==0 sentinels, matching darknet's ``if(!truth.x) break`` convention), and
+jit/pjit friendly (fori_loop scatters, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _box_iou_xywh(a, b):
+    """IoU of boxes in (cx, cy, w, h); broadcasts."""
+    ax0, ay0 = a[..., 0] - a[..., 2] / 2, a[..., 1] - a[..., 3] / 2
+    ax1, ay1 = a[..., 0] + a[..., 2] / 2, a[..., 1] + a[..., 3] / 2
+    bx0, by0 = b[..., 0] - b[..., 2] / 2, b[..., 1] - b[..., 3] / 2
+    bx1, by1 = b[..., 0] + b[..., 2] / 2, b[..., 1] + b[..., 3] / 2
+    iw = jnp.maximum(jnp.minimum(ax1, bx1) - jnp.maximum(ax0, bx0), 0.0)
+    ih = jnp.maximum(jnp.minimum(ay1, by1) - jnp.maximum(ay0, by0), 0.0)
+    inter = iw * ih
+    union = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+# --------------------------------------------------------------------------
+# YOLOv3 loss (yolo_layer.c semantics)
+# --------------------------------------------------------------------------
+
+def _v3_scale_delta(raw, truths, anchors_all, mask, input_size,
+                    ignore_thresh, truth_thresh, num_classes):
+    """Per-scale delta for one image.
+
+    raw: (G, G, A*(5+C)) raw conv output (NHWC cell layout, anchor-major).
+    truths: (T, 5) normalized (cx, cy, w, h, class); w==0 rows are padding.
+    anchors_all: (N, 2) full anchor table in pixels; mask: indices owned by
+    this scale.
+    Returns (delta, metrics) with delta shaped like raw reshaped to
+    (G, G, A, 5+C).
+    """
+    G = raw.shape[0]
+    A, C = len(mask), num_classes
+    T = truths.shape[0]
+    p = raw.reshape(G, G, A, 5 + C)
+
+    txy = jax.nn.sigmoid(p[..., 0:2])
+    tobj = jax.nn.sigmoid(p[..., 4])
+    tcls = jax.nn.sigmoid(p[..., 5:])
+
+    # decoded pred boxes, normalized (get_yolo_box, yolo_layer.c:85-91)
+    col = lax.broadcasted_iota(jnp.float32, (G, G, A), 1)
+    row = lax.broadcasted_iota(jnp.float32, (G, G, A), 0)
+    anchors_px = anchors_all[jnp.asarray(mask)]
+    bx = (col + txy[..., 0]) / G
+    by = (row + txy[..., 1]) / G
+    # clamp exp so a transiently large logit can't overflow the IoU math
+    # (darknet runs the same risk but at its lr never trips it)
+    bw = jnp.exp(jnp.minimum(p[..., 2], 10.0)) * anchors_px[:, 0] / input_size
+    bh = jnp.exp(jnp.minimum(p[..., 3], 10.0)) * anchors_px[:, 1] / input_size
+    pred = jnp.stack([bx, by, bw, bh], -1)                     # (G,G,A,4)
+
+    tvalid = truths[:, 2] > 0                                  # (T,)
+    # best IoU of each pred vs any truth (yolo_layer.c:166-176)
+    ious = _box_iou_xywh(pred[:, :, :, None, :], truths[None, None, None, :, :4])
+    ious = jnp.where(tvalid[None, None, None, :], ious, -1.0)
+    best_iou = jnp.max(ious, axis=-1)                          # (G,G,A)
+
+    delta = jnp.zeros((G, G, A, 5 + C), jnp.float32)
+    # noobj delta everywhere, zeroed where best_iou > ignore (yolo:178-183)
+    dobj = jnp.where(best_iou > ignore_thresh, 0.0, 0.0 - tobj)
+    delta = delta.at[..., 4].set(dobj)
+    # (truth_thresh branch, yolo:184-193 — default 1.0 so normally inert,
+    # implemented for cfg parity)
+    if truth_thresh < 1.0:
+        best_t = jnp.argmax(ious, axis=-1)
+        over = best_iou > truth_thresh
+        t_sel = truths[best_t]                                 # (G,G,A,5)
+        cls_sel = t_sel[..., 4].astype(jnp.int32)
+        onehot = jax.nn.one_hot(cls_sel, C)
+        delta = delta.at[..., 4].set(jnp.where(over, 1.0 - tobj, delta[..., 4]))
+        dcls = jnp.where(over[..., None], onehot - tcls, 0.0)
+        delta = delta.at[..., 5:].add(dcls)
+
+    # per-truth assignment (yolo_layer.c:196-240): best anchor over the FULL
+    # table by wh-only IoU; only applied if it belongs to this scale's mask.
+    mask_arr = jnp.asarray(mask, jnp.int32)
+    anchors_norm = anchors_all / input_size                    # normalized wh
+
+    def per_truth(k, state):
+        delta, n_assigned, iou_sum, obj_sum, cls_sum = state
+        t = truths[k]
+        valid = t[2] > 0
+        wh_iou = _box_iou_xywh(
+            jnp.concatenate([jnp.zeros(2), t[2:4]])[None, :],
+            jnp.concatenate([jnp.zeros_like(anchors_norm), anchors_norm], -1))
+        best_n = jnp.argmax(wh_iou)
+        in_scale = jnp.any(mask_arr == best_n)
+        slot = jnp.argmax(mask_arr == best_n)                  # anchor slot here
+        ci = jnp.clip((t[0] * G).astype(jnp.int32), 0, G - 1)
+        cj = jnp.clip((t[1] * G).astype(jnp.int32), 0, G - 1)
+        do = valid & in_scale
+
+        scale = 2.0 - t[2] * t[3]
+        tx = t[0] * G - ci
+        ty = t[1] * G - cj
+        tw = jnp.log(jnp.maximum(t[2] * input_size / anchors_all[best_n, 0], 1e-9))
+        th = jnp.log(jnp.maximum(t[3] * input_size / anchors_all[best_n, 1], 1e-9))
+        dbox = jnp.stack([
+            scale * (tx - txy[cj, ci, slot, 0]),
+            scale * (ty - txy[cj, ci, slot, 1]),
+            scale * (tw - p[cj, ci, slot, 2]),
+            scale * (th - p[cj, ci, slot, 3]),
+        ])
+        cls = t[4].astype(jnp.int32)
+        donehot = jax.nn.one_hot(cls, C) - tcls[cj, ci, slot]
+
+        cur = delta[cj, ci, slot]
+        new = jnp.concatenate([dbox, (1.0 - tobj[cj, ci, slot])[None], donehot])
+        delta = delta.at[cj, ci, slot].set(jnp.where(do, new, cur))
+
+        # metrics (Avg IOU / Obj / Class, yolo_layer.c:241)
+        iou_k = _box_iou_xywh(pred[cj, ci, slot], t[:4])
+        n_assigned = n_assigned + do.astype(jnp.float32)
+        iou_sum = iou_sum + jnp.where(do, iou_k, 0.0)
+        obj_sum = obj_sum + jnp.where(do, tobj[cj, ci, slot], 0.0)
+        cls_sum = cls_sum + jnp.where(do, tcls[cj, ci, slot, cls], 0.0)
+        return delta, n_assigned, iou_sum, obj_sum, cls_sum
+
+    delta, n_assigned, iou_sum, obj_sum, cls_sum = lax.fori_loop(
+        0, T, per_truth, (delta, jnp.float32(0), jnp.float32(0),
+                          jnp.float32(0), jnp.float32(0)))
+    metrics = {"count": n_assigned, "iou_sum": iou_sum,
+               "obj_sum": obj_sum, "cls_sum": cls_sum,
+               "avg_anyobj": jnp.mean(tobj)}
+    return delta, metrics
+
+
+def yolo_v3_loss(raw_scales, truths, cfg, *, anchor_masks,
+                 ignore_thresh=0.5, truth_thresh=1.0):
+    """Full v3 loss over all FPN scales.
+
+    raw_scales: list of (B, G, G, A*(5+C)) raw feature maps (spec order).
+    truths: (B, T, 5) normalized (cx, cy, w, h, class), w==0 padding.
+    Returns (loss, metrics); ``loss`` backpropagates darknet's exact delta,
+    its *value* is sum(delta^2) (darknet's printed cost), metrics mirror the
+    Region-line stats (yolo_layer.c:241).
+    """
+    anchors_all = jnp.asarray(cfg.anchors, jnp.float32)
+    total_cost = 0.0
+    surrogate = 0.0
+    agg = None
+    batch = raw_scales[0].shape[0]
+    for raw, mask in zip(raw_scales, anchor_masks):
+        fn = functools.partial(
+            _v3_scale_delta, anchors_all=anchors_all, mask=tuple(mask),
+            input_size=cfg.input_size, ignore_thresh=ignore_thresh,
+            truth_thresh=truth_thresh, num_classes=cfg.num_classes)
+        delta, m = jax.vmap(fn)(raw, truths)
+        delta = lax.stop_gradient(delta)
+        # 1/batch: darknet applies learning_rate/batch at update time
+        # (src/convolutional_layer.c update_convolutional_layer), so the
+        # per-weight step matches darknet at the same configured lr
+        surrogate = surrogate - jnp.sum(
+            delta.reshape(batch, -1) * raw.reshape(batch, -1)) / batch
+        total_cost = total_cost + jnp.sum(jnp.square(delta))
+        agg = m if agg is None else {k: agg[k] + m[k] for k in m}
+    count = jnp.maximum(jnp.sum(agg["count"]), 1.0)
+    metrics = {
+        "cost": total_cost,
+        "avg_iou": jnp.sum(agg["iou_sum"]) / count,
+        "avg_obj": jnp.sum(agg["obj_sum"]) / count,
+        "avg_cat": jnp.sum(agg["cls_sum"]) / count,
+        "count": jnp.sum(agg["count"]),
+    }
+    # value = darknet cost; gradient = darknet -delta (via the surrogate)
+    loss = surrogate - lax.stop_gradient(surrogate) + lax.stop_gradient(total_cost)
+    return loss, metrics
+
+
+# --------------------------------------------------------------------------
+# YOLOv2 loss (Loss.py semantics)
+# --------------------------------------------------------------------------
+
+def build_v2_targets(truths, cfg, grid: int):
+    """Build the (coords, confs, probs) target tensors Loss.py consumes from
+    padded truth boxes. For each valid truth: the owning cell gets, at every
+    anchor slot, coords=(cell-offset x, y, sqrt image-w, sqrt image-h),
+    conf=1, one-hot probs. (The best-anchor selection happens inside the
+    loss via the IoU mask, matching Loss.py:63-66.)"""
+    H = W = grid
+    A, C = cfg.num_anchors, cfg.num_classes
+    B, T, _ = truths.shape
+
+    def one(truth_img):
+        coords = jnp.zeros((H * W, A, 4), jnp.float32)
+        confs = jnp.zeros((H * W, A), jnp.float32)
+        probs = jnp.zeros((H * W, A, C), jnp.float32)
+
+        def body(k, state):
+            coords, confs, probs = state
+            t = truth_img[k]
+            valid = t[2] > 0
+            ci = jnp.clip((t[0] * W).astype(jnp.int32), 0, W - 1)
+            cj = jnp.clip((t[1] * H).astype(jnp.int32), 0, H - 1)
+            cell = cj * W + ci
+            xy = jnp.stack([t[0] * W - ci, t[1] * H - cj])
+            wh = jnp.sqrt(jnp.maximum(t[2:4], 1e-9))
+            row = jnp.concatenate([xy, wh])
+            onehot = jax.nn.one_hot(t[4].astype(jnp.int32), C)
+            coords = coords.at[cell].set(
+                jnp.where(valid, jnp.broadcast_to(row, (A, 4)), coords[cell]))
+            confs = confs.at[cell].set(jnp.where(valid, 1.0, confs[cell]))
+            probs = probs.at[cell].set(
+                jnp.where(valid, jnp.broadcast_to(onehot, (A, C)), probs[cell]))
+            return coords, confs, probs
+
+        return lax.fori_loop(0, T, body, (coords, confs, probs))
+
+    coords, confs, probs = jax.vmap(one)(truths)
+    return {"coords": coords, "confs": confs, "probs": probs}
+
+
+def yolo_v2_loss(raw, targets, cfg, *, grid: int = 13,
+                 scales=(1.0, 5.0, 1.0, 1.0)):
+    """Loss.py:10-79 semantics. raw: (B, H, W, A*(5+C)); targets from
+    build_v2_targets. scales = (sprob, sconf, snoob, scoor) — Loss.py's
+    per-term weights."""
+    H = W = grid
+    A, C = cfg.num_anchors, cfg.num_classes
+    B = raw.shape[0]
+    sprob, sconf, snoob, scoor = scales
+    anchors = jnp.asarray(cfg.anchors, jnp.float32).reshape(1, 1, A, 2)
+
+    p = raw.reshape(B, H * W, A, 5 + C)
+    coords_xy = jax.nn.sigmoid(p[..., 0:2])
+    coords_wh = jnp.sqrt(jnp.exp(p[..., 2:4]) * anchors /
+                         jnp.asarray([W, H], jnp.float32))
+    coords = jnp.concatenate([coords_xy, coords_wh], -1)
+    confs = jax.nn.sigmoid(p[..., 4:5])
+    probs = jax.nn.softmax(p[..., 5:], axis=-1)
+
+    _coords = targets["coords"]
+    _confs = targets["confs"]
+    _probs = targets["probs"]
+
+    # IoU between prediction and truth in (cell-xy, sqrt-wh) space
+    def corners(c):
+        wh = jnp.square(c[..., 2:4]) * jnp.asarray([W, H], jnp.float32)
+        ctr = c[..., 0:2]
+        return ctr - wh * 0.5, ctr + wh * 0.5, wh[..., 0] * wh[..., 1]
+
+    ul, dr, area = corners(coords)
+    _ul, _dr, _area = corners(_coords)
+    iw = jnp.maximum(jnp.minimum(dr, _dr) - jnp.maximum(ul, _ul), 0.0)
+    inter = iw[..., 0] * iw[..., 1]
+    ious = inter / jnp.maximum(area + _area - inter, 1e-9)
+
+    best = (ious >= jnp.max(ious, axis=2, keepdims=True)).astype(jnp.float32)
+    mask = (best * _confs)[..., None]                      # (B,HW,A,1)
+
+    confs_w = snoob * (1.0 - mask) + sconf * mask
+    coords_w = scoor * mask
+    probs_w = sprob * mask
+    weights = jnp.concatenate(
+        [jnp.broadcast_to(coords_w, coords.shape),
+         jnp.broadcast_to(confs_w, confs.shape),
+         jnp.broadcast_to(probs_w, probs.shape)], -1)
+
+    preds = jnp.concatenate([coords, confs, probs], -1)
+    truths_cat = jnp.concatenate([_coords, _confs[..., None], _probs], -1)
+    per_image = jnp.sum(jnp.square(preds - truths_cat) * weights, axis=(1, 2, 3))
+    loss = 0.5 * jnp.mean(per_image)
+    return loss, {"cost": loss, "avg_iou": jnp.sum(ious * mask[..., 0]) /
+                  jnp.maximum(jnp.sum(mask), 1.0)}
