@@ -89,8 +89,9 @@ def test_bn_inference_matches_fold(rng):
     var = rng.random(8).astype(np.float32) + 0.1
     eps = 1e-5
     y1 = L.batch_norm_inference(
-        L.conv2d(jnp.asarray(x), jnp.asarray(w)), gamma, beta, mean, var, eps)
-    wf, bf = fold_bn(w, gamma, beta, mean, var, eps)
+        L.conv2d(jnp.asarray(x), jnp.asarray(w)), gamma, beta, mean, var, eps,
+        formula="tf")
+    wf, bf = fold_bn(w, gamma, beta, mean, var, eps, formula="tf")
     y2 = L.conv2d(jnp.asarray(x), jnp.asarray(wf), jnp.asarray(bf))
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-3,
                                atol=1e-3)

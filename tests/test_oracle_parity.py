@@ -1,0 +1,130 @@
+"""C-oracle parity gates.
+
+Compiles the reference's own vendored darknet (CPU-only, into /tmp — never
+into this repo), feeds it (cfg, weights) pairs emitted by THIS framework
+(io/cfg.py + io/weights.py), and diffs raw head activations against our
+engine. This automates SURVEY.md §4 item 6 ("the vendored darknet binary is
+the oracle") into a numeric gate. Skipped when the reference tree or a C
+toolchain is unavailable.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import jax
+import jax.numpy as jnp
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.io import weights as W
+from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
+from yolo_tensorflow_tpu.models import engine, specs as S
+
+REFERENCE = "/root/reference/Darknet2Tensorflow/darknet-master"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REFERENCE) and shutil.which("gcc")),
+    reason="darknet oracle needs the reference tree and gcc")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    from darknet_oracle import Oracle
+    try:
+        return Oracle()
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
+        pytest.skip(f"oracle build failed: {e}")
+
+
+def _make_model(name, rng):
+    cfg = C.get_config(name)
+    specs = C.build_specs(cfg)
+    size = cfg.input_size
+    params, stats = engine.init_params(specs, (1, size, size, 3),
+                                       jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, params)
+    for k in stats:
+        n = stats[k]["mean"].shape[0]
+        stats[k] = {"mean": rng.standard_normal(n).astype(np.float32) * 0.1,
+                    "var": rng.random(n).astype(np.float32) * 0.5 + 0.75}
+    return cfg, specs, params, stats
+
+
+@pytest.mark.parametrize("name,rel_tol", [
+    ("yolov2-tiny-voc", 1e-4),
+    ("yolov3-tiny", 1e-4),
+    ("yolov2", 2e-4),        # exercises the darknet reorg quirk
+    ("yolov1-tiny", 1e-4),   # exercises connected + CHW flatten
+])
+def test_head_activations_match_c_oracle(oracle, name, rel_tol, rng,
+                                         tmp_path):
+    cfg, specs, params, stats = _make_model(name, rng)
+    size = cfg.input_size
+    wpath = str(tmp_path / "m.weights")
+    W.save_darknet_weights(specs, size, params, stats, wpath)
+
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    folded = W.fold_params(specs, params, stats, cfg.bn_eps, "darknet")
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    dets, _ = engine.apply(specs, folded, x, bn_eps=cfg.bn_eps)
+    ours = [np.asarray(f[0]) for f, _ in dets]
+
+    head_idx = [i - 1 for i, s in enumerate(specs) if isinstance(s, S.Detect)]
+    for hi, (idx, mine) in enumerate(zip(head_idx, ours)):
+        tcfg = str(tmp_path / f"h{hi}.cfg")
+        with open(tcfg, "w") as f:
+            f.write(specs_to_cfg(cfg, specs[:idx + 1]))
+        net = oracle.load(tcfg, wpath)
+        if mine.ndim == 1:
+            ref = oracle.predict_raw(net, img, mine.size)
+        else:
+            H, Wd, Ch = mine.shape
+            ref = oracle.predict_raw(net, img, Ch * H * Wd) \
+                .reshape(Ch, H, Wd).transpose(1, 2, 0)
+        scale = np.abs(ref).mean() + 1e-6
+        rel = np.abs(ref - mine).max() / scale
+        assert rel < rel_tol, f"{name} head{hi}: rel diff {rel:.2e}"
+
+
+def test_reorg_matches_c_semantics(rng):
+    """darknet_reorg vs a direct transcription of reorg_cpu (blas.c:9,
+    forward=0 as called by forward_reorg_layer for the v2 passthrough)."""
+    from yolo_tensorflow_tpu.ops.layers import darknet_reorg
+    b, h, w, c, s = 2, 6, 6, 8, 2
+    x = rng.standard_normal((b, h, w, c), dtype=np.float32)
+
+    x_chw = x.transpose(0, 3, 1, 2)
+    out_c = c // (s * s)
+    flat_in = x_chw.reshape(b, -1)
+    flat_out = np.zeros((b, c * h * w), np.float32)
+    for k in range(c):
+        for j in range(h):
+            for i in range(w):
+                in_index = i + w * (j + h * k)
+                c2 = k % out_c
+                offset = k // out_c
+                w2 = i * s + offset % s
+                h2 = j * s + offset // s
+                out_index = w2 + w * s * (h2 + h * s * c2)
+                flat_out[:, in_index] = flat_in[:, out_index]
+    want = flat_out.reshape(b, c * s * s, h // s, w // s).transpose(0, 2, 3, 1)
+
+    got = np.asarray(darknet_reorg(jnp.asarray(x), s))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cfg_emitter_structure():
+    cfg = C.get_config("yolov3-tiny")
+    text = specs_to_cfg(cfg)
+    assert text.count("[convolutional]") == 13
+    assert text.count("[maxpool]") == 6
+    assert text.count("[yolo]") == 2
+    assert text.count("[route]") == 2
+    assert text.count("[upsample]") == 1
+    assert "mask=3,4,5" in text and "mask=0,1,2" in text

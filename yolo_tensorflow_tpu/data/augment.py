@@ -15,12 +15,16 @@ def _rand_scale(rng, s):
     return scale if rng.random() < 0.5 else 1.0 / scale
 
 
-def distort_hsv(image_u8, rng, hue=0.1, sat=1.5, exposure=1.5):
-    """Random HSV distortion (data.c random_distort_image)."""
+def sample_hsv(rng, hue=0.1, sat=1.5, exposure=1.5):
+    """Sample HSV distortion params (data.c random_distort_image)."""
+    return (float(rng.uniform(-hue, hue)), float(_rand_scale(rng, sat)),
+            float(_rand_scale(rng, exposure)))
+
+
+def apply_hsv(image_u8, dhue, dsat, dexp):
+    """Apply an HSV distortion (python/cv2 path; the native kernel fuses
+    the same transform per pixel)."""
     import cv2
-    dhue = rng.uniform(-hue, hue)
-    dsat = _rand_scale(rng, sat)
-    dexp = _rand_scale(rng, exposure)
     hsv = cv2.cvtColor(image_u8, cv2.COLOR_RGB2HSV).astype(np.float32)
     hsv[..., 0] = (hsv[..., 0] + dhue * 180.0) % 180.0
     hsv[..., 1] = np.clip(hsv[..., 1] * dsat, 0, 255)
@@ -28,48 +32,66 @@ def distort_hsv(image_u8, rng, hue=0.1, sat=1.5, exposure=1.5):
     return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
 
-def random_crop_place(image_u8, boxes, rng, out_size, jitter=0.3):
-    """Jittered crop + resize to out_size (data.c:957-1010 semantics:
-    sample new boundaries within +-jitter of each edge, crop/pad, stretch).
+def distort_hsv(image_u8, rng, hue=0.1, sat=1.5, exposure=1.5):
+    """Random HSV distortion (sample + apply)."""
+    return apply_hsv(image_u8, *sample_hsv(rng, hue, sat, exposure))
 
-    boxes: (N, 5) normalized (cx, cy, w, h, cls). Returns (image, boxes)
-    with boxes clipped to the crop; degenerate boxes dropped.
+
+def sample_crop(rng, h, w, jitter=0.3):
+    """Sample a jittered crop window (data.c:957-1010 semantics: each edge
+    moves by up to +-jitter of the image size; the window may extend outside
+    the image, padded gray). Returns dict(crop_x0, crop_y0, crop_w, crop_h).
     """
-    import cv2
-    h, w = image_u8.shape[:2]
     dw, dh = int(w * jitter), int(h * jitter)
-    left = rng.integers(-dw, dw + 1)
-    right = rng.integers(-dw, dw + 1)
-    top = rng.integers(-dh, dh + 1)
-    bottom = rng.integers(-dh, dh + 1)
-    x0, x1 = left, w - right
-    y0, y1 = top, h - bottom
-    cw, ch = max(x1 - x0, 1), max(y1 - y0, 1)
+    left = int(rng.integers(-dw, dw + 1))
+    right = int(rng.integers(-dw, dw + 1))
+    top = int(rng.integers(-dh, dh + 1))
+    bottom = int(rng.integers(-dh, dh + 1))
+    return {"crop_x0": left, "crop_y0": top,
+            "crop_w": max(w - right - left, 1),
+            "crop_h": max(h - bottom - top, 1)}
 
-    canvas = np.full((ch, cw, 3), 128, np.uint8)
-    sx0, sy0 = max(x0, 0), max(y0, 0)
-    sx1, sy1 = min(x1, w), min(y1, h)
-    if sx1 > sx0 and sy1 > sy0:
-        canvas[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
-            image_u8[sy0:sy1, sx0:sx1]
-    out = cv2.resize(canvas, (out_size, out_size),
-                     interpolation=cv2.INTER_LINEAR)
 
+def crop_boxes(boxes, crop, h, w):
+    """Remap normalized (N,5) boxes into the crop window; drop degenerates."""
     if len(boxes) == 0:
-        return out, boxes.reshape(0, 5)
+        return boxes.reshape(0, 5).astype(np.float32)
+    x0, y0 = crop["crop_x0"], crop["crop_y0"]
+    cw, ch = crop["crop_w"], crop["crop_h"]
     b = boxes.copy()
-    bx0 = (b[:, 0] - b[:, 2] / 2) * w
-    by0 = (b[:, 1] - b[:, 3] / 2) * h
-    bx1 = (b[:, 0] + b[:, 2] / 2) * w
-    by1 = (b[:, 1] + b[:, 3] / 2) * h
-    bx0 = np.clip(bx0 - x0, 0, cw)
-    bx1 = np.clip(bx1 - x0, 0, cw)
-    by0 = np.clip(by0 - y0, 0, ch)
-    by1 = np.clip(by1 - y0, 0, ch)
+    bx0 = np.clip((b[:, 0] - b[:, 2] / 2) * w - x0, 0, cw)
+    bx1 = np.clip((b[:, 0] + b[:, 2] / 2) * w - x0, 0, cw)
+    by0 = np.clip((b[:, 1] - b[:, 3] / 2) * h - y0, 0, ch)
+    by1 = np.clip((b[:, 1] + b[:, 3] / 2) * h - y0, 0, ch)
     keep = (bx1 - bx0 > 1) & (by1 - by0 > 1)
     nb = np.stack([(bx0 + bx1) / 2 / cw, (by0 + by1) / 2 / ch,
                    (bx1 - bx0) / cw, (by1 - by0) / ch, b[:, 4]], axis=1)
-    return out, nb[keep].astype(np.float32)
+    return nb[keep].astype(np.float32)
+
+
+def apply_crop_pixels(image_u8, crop, out_size):
+    """Python/cv2 pixel path for a sampled crop: pad-crop + stretch resize.
+    (The native kernel yolodata.cpp fuses this with HSV/flip.)"""
+    import cv2
+    h, w = image_u8.shape[:2]
+    x0, y0 = crop["crop_x0"], crop["crop_y0"]
+    cw, ch = crop["crop_w"], crop["crop_h"]
+    canvas = np.full((ch, cw, 3), 128, np.uint8)
+    sx0, sy0 = max(x0, 0), max(y0, 0)
+    sx1, sy1 = min(x0 + cw, w), min(y0 + ch, h)
+    if sx1 > sx0 and sy1 > sy0:
+        canvas[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
+            image_u8[sy0:sy1, sx0:sx1]
+    return cv2.resize(canvas, (out_size, out_size),
+                      interpolation=cv2.INTER_LINEAR)
+
+
+def random_crop_place(image_u8, boxes, rng, out_size, jitter=0.3):
+    """Jittered crop + resize to out_size; boxes remapped and clipped."""
+    h, w = image_u8.shape[:2]
+    crop = sample_crop(rng, h, w, jitter)
+    return (apply_crop_pixels(image_u8, crop, out_size),
+            crop_boxes(boxes, crop, h, w))
 
 
 def random_flip(image_u8, boxes, rng):

@@ -58,17 +58,56 @@ class DetectionLoader:
     def set_size(self, size: int):
         self._size = size
 
-    def _load_one(self, sample: Sample, size: int, rng) -> tuple:
-        img = self.read_fn(sample.image_path)
-        boxes = sample.boxes
+    def _use_native(self) -> bool:
+        if not self.train:
+            return False
+        import os
+        from yolo_tensorflow_tpu.data import native
+        forced = os.environ.get("YOLO_NATIVE_LOADER")
+        if forced is not None:
+            return forced == "1" and native.available()
+        return native.available() and (os.cpu_count() or 1) > 2
+
+    def _load_batch(self, idx, size: int, rng):
+        """Assemble one batch: geometry + boxes in python, pixels via the
+        native kernel when it pays (multi-core hosts) else cv2."""
+        imgs_out = np.empty((len(idx), size, size, 3), np.uint8)
+        truths = np.empty((len(idx), self.max_boxes, 5), np.float32)
+        raws, params = [], []
+        for k, si in enumerate(idx):
+            sample = self.samples[si]
+            img = self.read_fn(sample.image_path)
+            boxes = sample.boxes
+            if self.train:
+                h, w = img.shape[:2]
+                crop = A.sample_crop(rng, h, w, self.aug["jitter"])
+                dhue, dsat, dexp = A.sample_hsv(
+                    rng, self.aug["hue"], self.aug["sat"], self.aug["exposure"])
+                flip = bool(rng.random() < 0.5)
+                boxes = A.crop_boxes(boxes, crop, h, w)
+                if flip and len(boxes):
+                    boxes = boxes.copy()
+                    boxes[:, 0] = 1.0 - boxes[:, 0]
+                raws.append(img)
+                params.append(dict(crop, dhue=dhue, dsat=dsat, dexp=dexp,
+                                   flip=int(flip)))
+            else:
+                import cv2
+                imgs_out[k] = cv2.resize(img, (size, size),
+                                         interpolation=cv2.INTER_LINEAR)
+            truths[k] = A.pad_truths(boxes, self.max_boxes)
         if self.train:
-            img, boxes = A.augment_detection(img, boxes, rng, size,
-                                             **self.aug)
-        else:
-            import cv2
-            img = cv2.resize(img, (size, size),
-                             interpolation=cv2.INTER_LINEAR)
-        return img, A.pad_truths(boxes, self.max_boxes)
+            if self._use_native():
+                from yolo_tensorflow_tpu.data import native
+                imgs_out = native.process_batch(raws, params, size)
+            else:
+                for k, (img, p) in enumerate(zip(raws, params)):
+                    out = A.apply_crop_pixels(img, p, size)
+                    out = A.apply_hsv(out, p["dhue"], p["dsat"], p["dexp"])
+                    if p["flip"]:
+                        out = out[:, ::-1]
+                    imgs_out[k] = out
+        return imgs_out, truths
 
     def epoch(self, shuffle: Optional[bool] = None):
         """Generator over one epoch of batches with background prefetch."""
@@ -97,11 +136,7 @@ class DetectionLoader:
                     return
                 size = self._size  # snapshot (multi-scale may change it)
                 idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-                imgs = np.empty((len(idx), size, size, 3), np.uint8)
-                tr = np.empty((len(idx), self.max_boxes, 5), np.float32)
-                for k, si in enumerate(idx):
-                    imgs[k], tr[k] = self._load_one(
-                        self.samples[si], size, wrng)
+                imgs, tr = self._load_batch(idx, size, wrng)
                 with results_lock:
                     results[bi] = (imgs, tr)
                 # emit in order

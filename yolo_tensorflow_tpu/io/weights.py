@@ -69,9 +69,16 @@ def _take(buf: np.ndarray, ptr: int, n: int) -> Tuple[np.ndarray, int]:
     return buf[ptr:ptr + n], ptr + n
 
 
-def fold_bn(w_hwio, gamma, beta, mean, var, eps):
-    """Fold inference-mode BN into conv weight + bias."""
-    inv = gamma / np.sqrt(var + eps)
+def fold_bn(w_hwio, gamma, beta, mean, var, eps, formula: str = "darknet"):
+    """Fold inference-mode BN into conv weight + bias.
+
+    formula="darknet": gamma/(sqrt(var)+1e-6) — darknet's normalize_cpu
+    (src/blas.c), the ground truth for .weights files. formula="tf":
+    gamma/sqrt(var+eps) — what the reference TF graphs compute."""
+    if formula == "darknet":
+        inv = gamma / (np.sqrt(var) + 1e-6)
+    else:
+        inv = gamma / np.sqrt(var + eps)
     w = w_hwio * inv.reshape(1, 1, 1, -1)
     b = beta - mean * inv
     return w.astype(np.float32), b.astype(np.float32)
@@ -80,6 +87,7 @@ def fold_bn(w_hwio, gamma, beta, mean, var, eps):
 def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                          header_ints: Optional[int] = None,
                          bn_eps: float = 1e-5, fold: bool = True,
+                         bn_formula: str = "darknet",
                          in_channels: int = 3):
     """Parse a .weights stream against ``specs``.
 
@@ -114,7 +122,8 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
             w = flat.reshape(cout, cin, k, k).transpose(2, 3, 1, 0)  # -> HWIO
             if spec.bn:
                 if fold:
-                    wf, bf = fold_bn(w, gamma, beta, mean, var, bn_eps)
+                    wf, bf = fold_bn(w, gamma, beta, mean, var, bn_eps,
+                                     bn_formula)
                     params[layer_key(i)] = {"w": wf, "b": bf}
                 else:
                     params[layer_key(i)] = {
@@ -172,7 +181,8 @@ def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
             prev = shapes[i]
 
 
-def fold_params(specs, params, batch_stats, bn_eps: float):
+def fold_params(specs, params, batch_stats, bn_eps: float,
+                bn_formula: str = "darknet"):
     """Fold a trained (unfolded-BN) parameter pytree into inference form
     ({"w","b"} per conv) — the train->deploy hand-off."""
     out = {}
@@ -181,7 +191,8 @@ def fold_params(specs, params, batch_stats, bn_eps: float):
             w, b = fold_bn(np.asarray(p["w"]), np.asarray(p["gamma"]),
                            np.asarray(p["beta"]),
                            np.asarray(batch_stats[key]["mean"]),
-                           np.asarray(batch_stats[key]["var"]), bn_eps)
+                           np.asarray(batch_stats[key]["var"]), bn_eps,
+                           bn_formula)
             out[key] = {"w": w, "b": b}
         else:
             out[key] = {k: np.asarray(v) for k, v in p.items()}

@@ -92,7 +92,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         elif isinstance(spec, S.Shortcut):
             cur = cur + fetch(spec.ref, i)
         elif isinstance(spec, S.Reorg):
-            cur = L.space_to_depth(cur, spec.stride)
+            fn = L.darknet_reorg if spec.mode == "darknet" else L.space_to_depth
+            cur = fn(cur, spec.stride)
         elif isinstance(spec, S.Upsample):
             fn = L.upsample_nearest if spec.mode == "nearest" else L.upsample_bilinear_sym
             cur = fn(cur, spec.factor)

@@ -69,10 +69,14 @@ class Shortcut:
 
 @dataclass(frozen=True)
 class Reorg:
-    """Space-to-depth passthrough (YOLOv2). Matches tf.space_to_depth
-    channel ordering as used by the reference (model_darknet19.py:41-44)."""
+    """Passthrough reorg (YOLOv2). mode="darknet" reproduces darknet's
+    reorg_cpu buffer-reinterpret semantics (src/blas.c:9) — what
+    darknet-trained weights expect; mode="space_to_depth" reproduces the
+    reference TF graphs' tf.space_to_depth (model_darknet19.py:41-44),
+    which diverges from the C runtime."""
 
     stride: int = 2
+    mode: str = "darknet"
 
 
 @dataclass(frozen=True)

@@ -55,11 +55,16 @@ def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None):
     return out
 
 
-def batch_norm_inference(x, gamma, beta, mean, var, eps):
+def batch_norm_inference(x, gamma, beta, mean, var, eps,
+                         formula: str = "darknet"):
     """Inference-mode BN (rolling statistics). Only used when parameters are
     kept unfolded (training graphs); detection inference folds BN into the
-    conv at load time instead (io/weights.py)."""
-    inv = gamma * lax.rsqrt(var + eps)
+    conv at load time instead (io/weights.py). formula: see
+    io/weights.fold_bn."""
+    if formula == "darknet":
+        inv = gamma / (jnp.sqrt(var) + 1e-6)
+    else:
+        inv = gamma * lax.rsqrt(var + eps)
     return x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
 
 
@@ -93,11 +98,40 @@ def max_pool(x, size=2, stride=2):
 def space_to_depth(x, block=2):
     """Reorg/passthrough with tf.space_to_depth channel order:
     out[b,i,j,(di*block+dj)*C + c] = in[b, block*i+di, block*j+dj, c]
-    (the reference uses tf.space_to_depth, model_darknet19.py:41-44)."""
+    (what the reference's TF graphs compute, model_darknet19.py:41-44)."""
     b, h, w, c = x.shape
     x = x.reshape(b, h // block, block, w // block, block, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h // block, w // block, block * block * c)
+
+
+def darknet_reorg(x, stride=2):
+    """Darknet's actual reorg (src/blas.c:9 reorg_cpu, forward=0 path) —
+    NOT tf.space_to_depth. The C code reinterprets the input CHW buffer
+    (C,H,W) as (C/s^2, H*s, W*s), gathers with the quirky offset pattern,
+    and reinterprets the result as (C*s^2, H/s, W/s):
+
+      mid[k, j, i] = view[k % (C/s^2), j*s + (k//(C/s^2))//s,
+                                       i*s + (k//(C/s^2)) % s]
+      out = mid buffer reshaped (C*s^2, H/s, W/s)
+
+    Darknet-trained weights for the conv after the passthrough expect THIS
+    channel order — the reference's space_to_depth substitution is a real
+    numerics divergence from darknet (verified against the compiled C
+    oracle in tests/test_oracle_parity.py). Default for .weights models.
+    """
+    b, h, w, c = x.shape
+    s = stride
+    oc = c // (s * s)
+    x_chw = x.transpose(0, 3, 1, 2)                  # (B, C, H, W)
+    view = x_chw.reshape(b, oc, h * s, w * s)        # buffer reinterpret
+    rows = []
+    for k in range(c):
+        c2, off = k % oc, k // oc
+        rows.append(view[:, c2, off // s::s, off % s::s])  # (B, H, W)
+    mid = jnp.stack(rows, axis=1)                    # (B, C, H, W)
+    out_chw = mid.reshape(b, c * s * s, h // s, w // s)
+    return out_chw.transpose(0, 2, 3, 1)
 
 
 def upsample_nearest(x, factor=2):
