@@ -1,0 +1,105 @@
+"""App-layer gates: summary table, numpy postprocess twin, streaming
+driver, CLI plumbing."""
+
+import json
+import numpy as np
+import pytest
+
+import jax
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.models import engine
+from yolo_tensorflow_tpu.pipeline import Detector
+from yolo_tensorflow_tpu.post import numpy_post as NP
+from yolo_tensorflow_tpu.utils.summary import summarize
+
+
+def test_summary_totals_match_darknet_tables():
+    # ~65.9 BFLOPs for yolov3-416 (yolov3.txt), ~62M params
+    text = summarize(C.get_config("yolov3"))
+    assert "total" in text
+    total_line = text.splitlines()[-1]
+    bflops = float(total_line.split()[-2])
+    params_m = float(total_line.split()[2].rstrip("M"))
+    assert abs(bflops - 65.9) < 1.5
+    assert abs(params_m - 62.0) < 1.0
+
+
+def test_numpy_postprocess_matches_device_nms(rng):
+    """The host numpy twin and the on-device NMS agree on the same inputs
+    (class-agnostic mode, like the reference in-graph path)."""
+    import jax.numpy as jnp
+    from yolo_tensorflow_tpu.post import nms as NMS
+    n, Cn = 60, 6
+    ctr = rng.random((n, 2)) * 0.8 + 0.1
+    wh = rng.random((n, 2)) * 0.2 + 0.05
+    boxes_xywh = np.concatenate([ctr, wh], 1).astype(np.float32)
+    conf = rng.random(n).astype(np.float32)
+    probs = rng.random((n, Cn)).astype(np.float32)
+
+    b_np, s_np, l_np = NP.postprocess(
+        boxes_xywh, conf, probs, image_shape=(100, 100),
+        conf_threshold=0.3, iou_threshold=0.5, max_detections=10,
+        class_aware=False)
+
+    half = boxes_xywh[:, 2:4] / 2
+    xyxy = np.concatenate([boxes_xywh[:, :2] - half,
+                           boxes_xywh[:, :2] + half], 1)
+    dev = NMS.batched_nms(jnp.asarray(xyxy[None]), jnp.asarray(conf[None]),
+                          jnp.asarray(probs[None]), conf_threshold=0.3,
+                          iou_threshold=0.5, max_detections=10,
+                          num_candidates=64)
+    k = int(dev.num[0])
+    assert k == len(s_np)
+    np.testing.assert_allclose(np.asarray(dev.scores[0][:k]), s_np,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dev.boxes[0][:k]) * 100, b_np,
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(dev.classes[0][:k]), l_np)
+
+
+def test_stream_detect_over_image_dir(tmp_path):
+    import cv2
+    from yolo_tensorflow_tpu.serving import stream_detect
+    for i in range(5):
+        cv2.imwrite(str(tmp_path / f"f{i}.jpg"),
+                    np.full((60, 80, 3), i * 40, np.uint8))
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0), folded=True)
+    det = Detector("yolov2-tiny-voc", params=params, input_size=64,
+                   num_candidates=32)
+    seen = []
+    frames, dt, fps = stream_detect(det, str(tmp_path), batch_size=2,
+                                    loops=2,
+                                    on_batch=lambda d, im: seen.append(len(im)))
+    assert frames == 10
+    assert sum(seen) == 10
+    assert fps > 0
+
+
+def test_cli_summary_and_convert(tmp_path, capsys):
+    from yolo_tensorflow_tpu import cli
+    cli.main(["summary", "--model", "yolov2-tiny-voc"])
+    out = capsys.readouterr().out
+    assert "conv 1024" in out and "13x13x125" in out
+
+    # convert: weights -> npz -> detect from npz
+    from yolo_tensorflow_tpu.io import weights as W
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    specs = C.build_specs(cfg)
+    params, stats = engine.init_params(specs, (1, 64, 64, 3),
+                                       jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, params)
+    wfile = tmp_path / "m.weights"
+    W.save_darknet_weights(specs, 64, params, stats, wfile)
+    npz = tmp_path / "m.npz"
+    cli.main(["convert", "--model", "yolov2-tiny-voc", "--input-size", "64",
+              "--weights", str(wfile), "--out", str(npz)])
+    assert npz.exists()
+    p2 = cli._load_npz_params(str(npz))
+    det = Detector("yolov2-tiny-voc", params=p2, input_size=64,
+                   num_candidates=32)
+    out = det.detect_batch(np.zeros((1, 64, 64, 3), np.uint8))
+    assert out.boxes.shape[0] == 1

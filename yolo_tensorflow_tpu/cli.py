@@ -157,6 +157,62 @@ def cmd_train(args):
     run_training(args)
 
 
+def cmd_summary(args):
+    from yolo_tensorflow_tpu.config import get_config
+    from yolo_tensorflow_tpu.utils.summary import summarize
+    print(summarize(get_config(args.model), input_size=args.input_size))
+
+
+def cmd_inspect(args):
+    """Weights/checkpoint inspector — the print_tensor_name.py equivalent."""
+    if args.file.endswith(".npz"):
+        with np.load(args.file) as z:
+            for k in sorted(z.files):
+                a = z[k]
+                print(f"{k:<40s} {str(a.shape):<20s} {a.dtype} "
+                      f"|mean|={np.abs(a).mean():.4f}")
+    else:
+        from yolo_tensorflow_tpu.config import get_config, build_specs
+        from yolo_tensorflow_tpu.io import weights as W
+        cfg = get_config(args.model)
+        specs = build_specs(cfg)
+        params, stats, header = W.load_darknet_weights(
+            specs, args.input_size or cfg.input_size, args.file, fold=False)
+        print(f"header: {header}")
+        for k in sorted(params):
+            for f, a in sorted(params[k].items()):
+                print(f"{k}/{f:<10s} {str(a.shape):<20s} "
+                      f"|mean|={np.abs(a).mean():.4f}")
+        print(f"{sum(a.size for d in params.values() for a in d.values()) + sum(a.size for d in stats.values() for a in d.values()):,} floats")
+
+
+def cmd_stream(args):
+    from yolo_tensorflow_tpu.serving import stream_detect
+    det = _build_detector(args)
+    frames, dt, fps = stream_detect(det, args.source,
+                                    batch_size=args.batch,
+                                    loops=args.loops,
+                                    max_batches=args.max_batches)
+    print(f"{frames} frames in {dt:.2f}s -> {fps:.1f} FPS "
+          f"(batch {args.batch})")
+
+
+def cmd_export_darknet(args):
+    """Emit a darknet-loadable (cfg, weights) pair from an unfolded model."""
+    from yolo_tensorflow_tpu.config import get_config, build_specs
+    from yolo_tensorflow_tpu.io import weights as W
+    from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
+    cfg = get_config(args.model)
+    specs = build_specs(cfg)
+    params, stats, _ = W.load_darknet_weights(
+        specs, cfg.input_size, args.weights, fold=False, bn_eps=cfg.bn_eps)
+    W.save_darknet_weights(specs, cfg.input_size, params, stats,
+                           args.out + ".weights")
+    with open(args.out + ".cfg", "w") as f:
+        f.write(specs_to_cfg(cfg, specs))
+    print(f"wrote {args.out}.cfg + {args.out}.weights")
+
+
 def cmd_bench(args):
     os.environ["BENCH_BATCH"] = str(args.batch)
     import bench
@@ -224,6 +280,34 @@ def main(argv=None):
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--batch", type=int, default=64)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("summary", help="layer table (shapes, params, BFLOPs)")
+    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--input-size", type=int, default=None)
+    p.set_defaults(fn=cmd_summary)
+
+    p = sub.add_parser("inspect", help="list tensors in .weights/.npz")
+    p.add_argument("file")
+    p.add_argument("--model", choices=MODEL_NAMES,
+                   help="required for .weights files")
+    p.add_argument("--input-size", type=int, default=None)
+    p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser("stream", help="streaming demo (video/camera/dir)")
+    _add_model_args(p)
+    p.add_argument("--source", required=True,
+                   help="video file, camera index, or image directory")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--loops", type=int, default=1)
+    p.add_argument("--max-batches", type=int, default=0)
+    p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("export-darknet",
+                       help="emit darknet (cfg, weights) pair")
+    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--out", required=True, help="output path stem")
+    p.set_defaults(fn=cmd_export_darknet)
 
     args = ap.parse_args(argv)
     if args.platform:

@@ -39,18 +39,36 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
                  max_detections: Optional[int] = None,
                  conf_threshold: Optional[float] = None,
                  iou_threshold: Optional[float] = None,
-                 class_aware_nms: Optional[bool] = None):
-    """Build the pure forward fn: (params, uint8 images) -> Detections."""
+                 class_aware_nms: Optional[bool] = None,
+                 fused_decode: Optional[bool] = None):
+    """Build the pure forward fn: (params, uint8 images) -> Detections.
+
+    fused_decode: use the Pallas decode+score kernel
+    (ops/pallas/decode.py) instead of the XLA decode. Off by default:
+    measured on v5e at yolov3-416 batch 128, XLA's automatic fusion of the
+    decode math beats the hand kernel (61.0 vs 70.3 ms/batch) — the
+    (N, C) score intermediate I expected to round-trip HBM is already
+    fusion-eliminated by XLA. Kept as a parity-tested option and a
+    baseline for future kernel work (see tests/test_pallas_decode.py)."""
     max_det = cfg.max_detections if max_detections is None else max_detections
     conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
     iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
     class_aware = cfg.class_aware_nms if class_aware_nms is None else class_aware_nms
+    if fused_decode is None:
+        fused_decode = False
 
     def forward(params, images_uint8):
         x = normalize_images(images_uint8, cfg,
                              compute_dtype or jnp.float32)
         dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
                                compute_dtype=compute_dtype)
+        if fused_decode:
+            from yolo_tensorflow_tpu.ops.pallas.decode import decode_fused
+            boxes, scores, labels = decode_fused(dets, cfg)
+            return NMS.batched_nms_scored(
+                boxes, scores, labels, conf_threshold=conf_t,
+                iou_threshold=iou_t, max_detections=max_det,
+                num_candidates=num_candidates, class_aware=class_aware)
         boxes_xywh, conf, probs = heads.decode(dets, cfg)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
         return NMS.batched_nms(

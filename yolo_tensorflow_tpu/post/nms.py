@@ -103,6 +103,19 @@ def _nms_single(boxes, scores, labels, *, conf_threshold, iou_threshold,
     return out_boxes, out_scores, out_labels, valid, jnp.sum(valid.astype(jnp.int32))
 
 
+def batched_nms_scored(boxes_xyxy, scores, labels, *, conf_threshold=0.5,
+                       iou_threshold=0.5, max_detections=20,
+                       num_candidates=256, class_aware=False) -> Detections:
+    """NMS on already-scored boxes (the fused Pallas decode path,
+    ops/pallas/decode.py, emits (boxes, score, label) directly)."""
+    fn = functools.partial(
+        _nms_single, conf_threshold=conf_threshold,
+        iou_threshold=iou_threshold, max_detections=max_detections,
+        num_candidates=num_candidates, class_aware=class_aware)
+    b, s, c, v, n = jax.vmap(fn)(boxes_xyxy, scores, labels)
+    return Detections(b, s, c, v, n)
+
+
 def batched_nms(boxes_xyxy, conf, class_probs, *, conf_threshold=0.5,
                 iou_threshold=0.5, max_detections=20, num_candidates=256,
                 class_aware=False) -> Detections:

@@ -1,0 +1,103 @@
+"""Streaming/batched serving driver — the src/demo.c:185 equivalent.
+
+Darknet's demo runs a 2-thread fetch/detect pipeline (pthread_create at
+demo.c:252-253) with a rolling FPS print. Here: a host prefetch thread
+decodes+resizes frames into fixed batches while the device runs the
+previous batch — the same overlap, plus batching (darknet is batch-1).
+Sources: a video file / camera index (cv2.VideoCapture) or a directory of
+images looped ``loops`` times.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def frame_source(source, size: int, loops: int = 1) -> Iterator[np.ndarray]:
+    """Yield (size, size, 3) uint8 RGB frames from a video path, camera
+    index, or image directory."""
+    import cv2
+    if isinstance(source, int) or (isinstance(source, str)
+                                   and source.isdigit()):
+        cap = cv2.VideoCapture(int(source))
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            yield cv2.cvtColor(cv2.resize(frame, (size, size)),
+                               cv2.COLOR_BGR2RGB)
+    elif os.path.isdir(source):
+        paths = sorted(glob.glob(os.path.join(source, "*")))
+        paths = [p for p in paths
+                 if p.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))]
+        for _ in range(loops):
+            for p in paths:
+                img = cv2.imread(p)
+                if img is None:
+                    continue
+                yield cv2.cvtColor(cv2.resize(img, (size, size)),
+                                   cv2.COLOR_BGR2RGB)
+    else:
+        cap = cv2.VideoCapture(source)
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                return
+            yield cv2.cvtColor(cv2.resize(frame, (size, size)),
+                               cv2.COLOR_BGR2RGB)
+
+
+def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
+                  prefetch: int = 3, on_batch=None, max_batches: int = 0):
+    """Run the fetch/detect pipeline. ``on_batch(dets, images)`` is called
+    per batch (e.g. to draw); returns (frames, wall_seconds, fps)."""
+    size = detector.cfg.input_size
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    SENTINEL = None
+
+    def fetcher():
+        batch = []
+        for frame in frame_source(source, size, loops):
+            batch.append(frame)
+            if len(batch) == batch_size:
+                q.put(np.stack(batch))
+                batch = []
+        if batch:  # pad the tail to the compiled batch size
+            pad = np.zeros((batch_size - len(batch), size, size, 3), np.uint8)
+            q.put((np.concatenate([np.stack(batch), pad]), len(batch)))
+        q.put(SENTINEL)
+
+    t = threading.Thread(target=fetcher, daemon=True)
+    t.start()
+
+    frames = 0
+    batches = 0
+    t0 = time.perf_counter()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        if isinstance(item, tuple):
+            images, valid = item
+        else:
+            images, valid = item, item.shape[0]
+        dets = detector.detect_batch(images)
+        if on_batch is not None:
+            on_batch(dets, images[:valid])
+        else:
+            # force completion so FPS is honest (demo.c prints per frame)
+            np.asarray(dets.num)
+        frames += valid
+        batches += 1
+        if max_batches and batches >= max_batches:
+            break
+    dt = time.perf_counter() - t0
+    fps = frames / dt if dt > 0 else 0.0
+    return frames, dt, fps
