@@ -128,3 +128,55 @@ def test_cfg_emitter_structure():
     assert text.count("[route]") == 2
     assert text.count("[upsample]") == 1
     assert "mask=3,4,5" in text and "mask=0,1,2" in text
+
+
+def test_classifier_matches_c_oracle(oracle, rng, tmp_path):
+    """darknet19 classifier (conv stack + avgpool + softmax) vs the C
+    oracle's full forward including its [avgpool]/[softmax] layers."""
+    cfg = C.get_config("darknet19-classifier", input_size=128)
+    specs = C.build_specs(cfg)
+    params, stats = engine.init_params(specs, (1, 128, 128, 3),
+                                       jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, params)
+    for k in stats:
+        n = stats[k]["mean"].shape[0]
+        stats[k] = {"mean": rng.standard_normal(n).astype(np.float32) * 0.1,
+                    "var": rng.random(n).astype(np.float32) * 0.5 + 0.75}
+    wpath = str(tmp_path / "c.weights")
+    W.save_darknet_weights(specs, 128, params, stats, wpath)
+    cpath = str(tmp_path / "c.cfg")
+    with open(cpath, "w") as f:
+        f.write(specs_to_cfg(cfg, specs))
+
+    img = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+    folded = W.fold_params(specs, params, stats, cfg.bn_eps, "darknet")
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    dets, _ = engine.apply(specs, folded, x, bn_eps=cfg.bn_eps)
+    (ours, _), = dets
+
+    net = oracle.load(cpath, wpath)
+    ref = oracle.predict_raw(net, img, 1000)
+    np.testing.assert_allclose(np.asarray(ours[0]), ref, rtol=5e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(ref.sum(), 1.0, rtol=1e-4)
+
+
+def test_parse_cfg_roundtrip_runs_identically(rng, tmp_path):
+    """Emit cfg -> parse_cfg -> apply: identical outputs to the original
+    specs (the parse_network_cfg equivalence gate)."""
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg
+    cfg = C.get_config("yolov3-tiny", input_size=64)
+    specs = C.build_specs(cfg)
+    text = specs_to_cfg(cfg, specs)
+    specs2, net, heads = parse_cfg(text)
+    assert int(net["height"]) == 64
+    assert len(heads) == 2 and heads[0]["_type"] == "yolo"
+
+    params, _ = engine.init_params(specs, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0), folded=True)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3), dtype=np.float32))
+    d1, _ = engine.apply(specs, params, x)
+    d2, _ = engine.apply(specs2, params, x)
+    for (a, sa), (b, sb) in zip(d1, d2):
+        assert sa.anchor_mask == sb.anchor_mask
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

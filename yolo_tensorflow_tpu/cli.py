@@ -197,6 +197,25 @@ def cmd_stream(args):
           f"(batch {args.batch})")
 
 
+def cmd_classify(args):
+    import cv2
+    from yolo_tensorflow_tpu.pipeline import Classifier
+    import jax.numpy as jnp
+    clf = Classifier(args.model, args.weights,
+                     compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    names = None
+    if args.names:
+        with open(args.names) as f:
+            names = [l.strip() for l in f if l.strip()]
+    for path in args.images:
+        img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        results = clf.classify(img, top_k=args.top_k)
+        print(path)
+        for r in results:
+            label = names[r["class_id"]] if names else r["class"]
+            print(f"  {r['prob']*100:5.2f}%  {label}")
+
+
 def cmd_export_darknet(args):
     """Emit a darknet-loadable (cfg, weights) pair from an unfolded model."""
     from yolo_tensorflow_tpu.config import get_config, build_specs
@@ -301,6 +320,15 @@ def main(argv=None):
     p.add_argument("--loops", type=int, default=1)
     p.add_argument("--max-batches", type=int, default=0)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("classify", help="image classification (head=0 models)")
+    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--names", help="file with one class name per line")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("images", nargs="+")
+    p.set_defaults(fn=cmd_classify)
 
     p = sub.add_parser("export-darknet",
                        help="emit darknet (cfg, weights) pair")

@@ -90,6 +90,10 @@ _CONFIGS = {
     "yolov1-tiny": ModelConfig(
         name="yolov1-tiny", dataset="voc", head=1, input_size=448,
         conf_threshold=0.2, iou_threshold=0.4, max_detections=10),
+    # head=0: classifier (darknet's classifier path, examples/classifier.c)
+    "darknet19-classifier": ModelConfig(
+        name="darknet19-classifier", dataset="imagenet1k", head=0,
+        input_size=256),
 }
 
 MODEL_NAMES = tuple(sorted(_CONFIGS))
@@ -107,5 +111,6 @@ def build_specs(cfg: ModelConfig):
     if cfg.head == 1:
         n_out = cfg.grid * cfg.grid * (cfg.boxes_per_cell * 5 + cfg.num_classes)
         return builder(n_out)
-    return builder(cfg.num_classes, cfg.num_anchors) if cfg.head == 2 \
-        else builder(cfg.num_classes)
+    if cfg.head == 2:
+        return builder(cfg.num_classes, cfg.num_anchors)
+    return builder(cfg.num_classes)

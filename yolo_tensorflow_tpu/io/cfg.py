@@ -15,7 +15,7 @@ in darknet).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from yolo_tensorflow_tpu import config as C
 from yolo_tensorflow_tpu.models import specs as S
@@ -88,6 +88,11 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
         elif isinstance(spec, S.Dropout):
             out.append("[dropout]")
             out.append(f"probability={spec.rate}")
+        elif isinstance(spec, S.GlobalAvgPool):
+            out.append("[avgpool]")
+        elif isinstance(spec, S.Softmax):
+            out.append("[softmax]")
+            out.append("groups=1")
         elif isinstance(spec, S.Detect):
             if cfg.head == 3:
                 out.append("[yolo]")
@@ -104,6 +109,8 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
                 out.append("softmax=1\njitter=.3\nrescore=1")
                 out.append("object_scale=5\nnoobject_scale=1\nclass_scale=1"
                            "\ncoord_scale=1\nabsolute=1\nthresh=.6\nrandom=0")
+            elif cfg.head == 0:
+                emitted = False  # classifier: softmax is already the output
             else:
                 out.append("[detection]")
                 out.append(f"classes={cfg.num_classes}")
@@ -123,3 +130,116 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
         else:
             dk_index.append(None)
     return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# cfg PARSER: darknet .cfg -> layer specs (+ net options)
+# ---------------------------------------------------------------------------
+
+def _parse_sections(text: str) -> List[Tuple[str, Dict[str, str]]]:
+    sections: List[Tuple[str, Dict[str, str]]] = []
+    cur: Optional[Dict[str, str]] = None
+    for raw in text.splitlines():
+        line = raw.split("#")[0].split(";")[0].strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            cur = {}
+            sections.append((line.strip("[]").lower(), cur))
+        elif "=" in line and cur is not None:
+            k, v = line.split("=", 1)
+            cur[k.strip()] = v.strip()
+    return sections
+
+
+def parse_cfg(text: str):
+    """Parse a darknet ``.cfg`` into (specs, net_options, head_options) —
+    the src/parser.c:730 parse_network_cfg equivalent. Any cfg built from
+    the layer types this framework implements loads; the result plugs
+    straight into models/engine.apply and io/weights.load_darknet_weights.
+
+    head_options collects [yolo]/[region]/[detection] sections in order
+    (anchors, classes, masks, thresholds) so a ModelConfig can be derived.
+    """
+    sections = _parse_sections(text)
+    if not sections or sections[0][0] not in ("net", "network"):
+        raise ValueError("cfg must start with [net]")
+    net = sections[0][1]
+    b = S.SpecBuilder()
+    heads: List[Dict] = []
+    dk_to_spec: List[int] = []   # darknet layer index -> our spec index
+
+    def geti(d, k, default):
+        return int(d.get(k, default))
+
+    def getf(d, k, default):
+        return float(d.get(k, default))
+
+    def remap(ref: int, dk_idx: int) -> int:
+        """darknet route/shortcut ref (relative if <0, absolute otherwise,
+        in darknet layer indices) -> absolute spec index."""
+        tgt = dk_idx + ref if ref < 0 else ref
+        if not 0 <= tgt < len(dk_to_spec):
+            raise ValueError(f"route/shortcut ref {ref} out of range")
+        return dk_to_spec[tgt]
+
+    for name, opt in sections[1:]:
+        dk_idx = len(dk_to_spec)
+        if name == "convolutional":
+            act = opt.get("activation", "logistic")
+            idx = b.conv(geti(opt, "filters", 1), geti(opt, "size", 1),
+                         geti(opt, "stride", 1),
+                         bn=geti(opt, "batch_normalize", 0) == 1,
+                         act="leaky" if act == "leaky" else "linear")
+        elif name == "maxpool":
+            size = geti(opt, "size", 2)
+            idx = b.maxpool(size, geti(opt, "stride", size))
+        elif name == "route":
+            refs = tuple(remap(int(x), dk_idx)
+                         for x in opt["layers"].split(","))
+            idx = b.route(*refs)
+        elif name == "shortcut":
+            idx = b.shortcut(remap(int(opt["from"]), dk_idx))
+        elif name == "reorg":
+            idx = b.reorg(geti(opt, "stride", 2))
+        elif name == "upsample":
+            idx = b.upsample()
+        elif name == "connected":
+            # darknet flattens CHW implicitly; our NHWC engine needs the
+            # explicit marker before the first connected layer
+            if not b._specs or not isinstance(
+                    b._specs[-1], (S.Dense, S.Dropout, S.TransposeFlatten)):
+                b.transpose_flatten()
+            act = opt.get("activation", "logistic")
+            idx = b.dense(geti(opt, "output", 1),
+                          act="leaky" if act == "leaky" else "linear")
+        elif name == "dropout":
+            idx = b.dropout(getf(opt, "probability", 0.5))
+        elif name in ("yolo", "region", "detection"):
+            head = dict(opt)
+            head["_type"] = name
+            if name == "detection":
+                mask = ()  # v1 grid head: no anchors
+            elif "mask" in opt:
+                mask = tuple(int(x) for x in opt["mask"].split(","))
+            else:
+                mask = tuple(range(geti(opt, "num", 5)))
+            heads.append(head)
+            idx = b.detect(mask)
+        elif name == "avgpool":
+            idx = b.add(S.GlobalAvgPool())
+        elif name == "softmax":
+            idx = b.add(S.Softmax())
+        elif name == "cost":
+            continue  # train-time only; not a runtime layer in darknet either
+        else:
+            raise ValueError(f"unsupported cfg section [{name}]")
+        dk_to_spec.append(idx)
+    specs = b.specs()
+    S.validate(specs)
+    return specs, net, heads
+
+
+def parse_cfg_file(path: str):
+    with open(path) as f:
+        return parse_cfg(f.read())

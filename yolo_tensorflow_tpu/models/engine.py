@@ -108,6 +108,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                 dropout_rng, sub = jax.random.split(dropout_rng)
                 cur = L.dropout(cur, spec.rate, sub)
             # inference: identity
+        elif isinstance(spec, S.GlobalAvgPool):
+            cur = jnp.mean(cur, axis=(1, 2))
+        elif isinstance(spec, S.Softmax):
+            cur = jax.nn.softmax(cur.astype(jnp.float32), axis=-1)
         elif isinstance(spec, S.Detect):
             detections.append((cur, spec))
         else:  # pragma: no cover
@@ -160,7 +164,9 @@ def infer_shapes(specs, input_shape) -> list:
             cur = (b, c * h * w)
         elif isinstance(spec, S.Dense):
             cur = (cur[0], spec.units)
-        elif isinstance(spec, (S.Dropout, S.Detect)):
+        elif isinstance(spec, S.GlobalAvgPool):
+            cur = (cur[0], cur[3])
+        elif isinstance(spec, (S.Dropout, S.Detect, S.Softmax)):
             pass
         shapes.append(cur)
     return shapes

@@ -112,6 +112,18 @@ class Dropout:
 
 
 @dataclass(frozen=True)
+class GlobalAvgPool:
+    """Global average pool over H, W -> (B, C) (src/avgpool_layer.c;
+    classifier tails like darknet19's 1000-class head)."""
+
+
+@dataclass(frozen=True)
+class Softmax:
+    """Softmax over the last axis (src/softmax_layer.c, classifier tails;
+    the YOLO9000 softmax-tree variant is out of scope, see SCOPE.md)."""
+
+
+@dataclass(frozen=True)
 class Detect:
     """Marks the previous layer's output as a raw detection feature map and
     records which anchor slice decodes it. ``anchor_mask`` indexes into the
@@ -121,7 +133,7 @@ class Detect:
 
 
 SpecT = (Conv, MaxPool, Route, Shortcut, Reorg, Upsample,
-         TransposeFlatten, Dense, Dropout, Detect)
+         TransposeFlatten, Dense, Dropout, GlobalAvgPool, Softmax, Detect)
 
 
 def has_params(spec) -> bool:

@@ -16,7 +16,8 @@ Sources (architecture, cited for parity checking — not translated code):
 
 from __future__ import annotations
 
-from yolo_tensorflow_tpu.models.specs import SpecBuilder
+from yolo_tensorflow_tpu.models.specs import (GlobalAvgPool, Softmax,
+                                              SpecBuilder)
 
 
 def _dn53_block(b: SpecBuilder, filters: int) -> int:
@@ -228,7 +229,43 @@ def yolov1_tiny_specs(num_outputs: int = 1470):
     return b.specs()
 
 
+def darknet19_classifier_specs(num_classes: int = 1000):
+    """Darknet-19 ImageNet classifier (the backbone yolov2 fine-tunes from;
+    darknet's classifier path, examples/classifier.c): 19 convs + 1x1 head
+    + global avgpool + softmax."""
+    b = SpecBuilder()
+    b.conv(32, 3)
+    b.maxpool()
+    b.conv(64, 3)
+    b.maxpool()
+    b.conv(128, 3)
+    b.conv(64, 1)
+    b.conv(128, 3)
+    b.maxpool()
+    b.conv(256, 3)
+    b.conv(128, 1)
+    b.conv(256, 3)
+    b.maxpool()
+    b.conv(512, 3)
+    b.conv(256, 1)
+    b.conv(512, 3)
+    b.conv(256, 1)
+    b.conv(512, 3)
+    b.maxpool()
+    b.conv(1024, 3)
+    b.conv(512, 1)
+    b.conv(1024, 3)
+    b.conv(512, 1)
+    b.conv(1024, 3)
+    b.conv(num_classes, 1, bn=False, act="linear")
+    b.add(GlobalAvgPool())
+    b.add(Softmax())
+    b.detect(())
+    return b.specs()
+
+
 SPEC_BUILDERS = {
+    "darknet19-classifier": darknet19_classifier_specs,
     "yolov3": yolov3_specs,
     "yolov3-tiny": yolov3_tiny_specs,
     "yolov2": yolov2_specs,

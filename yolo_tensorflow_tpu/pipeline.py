@@ -90,9 +90,14 @@ class Detector:
 
     def __init__(self, model: str, weights_path: Optional[str] = None, *,
                  params=None, compute_dtype=None, donate: bool = False,
-                 **overrides):
+                 letterbox: bool = False, **overrides):
+        # letterbox=True: aspect-preserving pad-resize + box un-mapping,
+        # darknet's test path (src/image.c:960 letterbox_image +
+        # correct_yolo_boxes); False: stretch resize like the reference TF
+        # graphs' _input_process.
+        self.letterbox = letterbox
         nms_keys = {"num_candidates", "max_detections", "conf_threshold",
-                    "iou_threshold", "class_aware_nms"}
+                    "iou_threshold", "class_aware_nms", "fused_decode"}
         nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
                       if k in nms_keys}
         self.cfg = C.get_config(model, **overrides)
@@ -119,19 +124,31 @@ class Detector:
         host-side ratio->pixel conversion, YOLO_V1_Inference.py:386-391)."""
         h, w = image.shape[:2]
         s = self.cfg.input_size
-        import cv2
-        resized = cv2.resize(image, (s, s), interpolation=cv2.INTER_LINEAR)
+        if self.letterbox:
+            from yolo_tensorflow_tpu.data.augment import (letterbox,
+                                                          unletterbox_boxes)
+            resized, scale, px, py = letterbox(image, s)
+        else:
+            import cv2
+            resized = cv2.resize(image, (s, s),
+                                 interpolation=cv2.INTER_LINEAR)
         dets = self._jit_forward(self.params, resized[None])
         dets = jax.tree.map(np.asarray, dets)
+        n = int(dets.num[0])
+        if self.letterbox and n:
+            boxes_px = unletterbox_boxes(dets.boxes[0, :n], w, h, s,
+                                         scale, px, py)
+        else:
+            boxes_px = dets.boxes[0, :n] * np.asarray([w, h, w, h],
+                                                      np.float32)
         out = []
-        for i in range(int(dets.num[0])):
-            x0, y0, x1, y1 = dets.boxes[0, i]
+        for i in range(n):
+            x0, y0, x1, y1 = boxes_px[i]
             out.append({
                 "class_id": int(dets.classes[0, i]),
                 "class": self.cfg.classes[int(dets.classes[0, i])],
                 "score": float(dets.scores[0, i]),
-                "box": (float(x0 * w), float(y0 * h),
-                        float(x1 * w), float(y1 * h)),
+                "box": (float(x0), float(y0), float(x1), float(y1)),
             })
         return out
 
@@ -147,3 +164,46 @@ class Detector:
         if img is None:
             raise FileNotFoundError(path)
         return self.detect(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+
+
+class Classifier:
+    """Image classification pipeline (head=0 models) — the
+    examples/classifier.c predict path: uint8 image -> softmax probs."""
+
+    def __init__(self, model: str, weights_path: Optional[str] = None, *,
+                 params=None, compute_dtype=None, **overrides):
+        self.cfg = C.get_config(model, **overrides)
+        if self.cfg.head != 0:
+            raise ValueError(f"{model} is not a classifier config")
+        self.specs = C.build_specs(self.cfg)
+        if params is None:
+            if weights_path is None:
+                raise ValueError("need weights_path or params")
+            params, _, _ = W.load_darknet_weights(
+                self.specs, self.cfg.input_size, weights_path,
+                bn_eps=self.cfg.bn_eps, fold=True)
+        self.params = jax.device_put(jax.tree.map(jnp.asarray, params))
+        cfg = self.cfg
+        specs = self.specs
+
+        def forward(p, images_uint8):
+            x = normalize_images(images_uint8, cfg,
+                                 compute_dtype or jnp.float32)
+            dets, _ = engine.apply(specs, p, x, bn_eps=cfg.bn_eps,
+                                   compute_dtype=compute_dtype)
+            (probs, _), = dets
+            return probs
+
+        self._jit_forward = jax.jit(forward)
+
+    def classify(self, image: np.ndarray, top_k: int = 5):
+        import cv2
+        s = self.cfg.input_size
+        resized = cv2.resize(image, (s, s), interpolation=cv2.INTER_LINEAR)
+        probs = np.asarray(self._jit_forward(self.params, resized[None])[0])
+        idx = np.argsort(-probs)[:top_k]
+        return [{"class_id": int(i), "class": self.cfg.classes[int(i)],
+                 "prob": float(probs[i])} for i in idx]
+
+    def classify_batch(self, images_uint8):
+        return self._jit_forward(self.params, images_uint8)

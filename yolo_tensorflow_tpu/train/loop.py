@@ -89,6 +89,9 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
         grid = raw.shape[1]
         targets = losses.build_v2_targets(truths, cfg, grid)
         return losses.yolo_v2_loss(raw, targets, cfg, grid=grid)
+    if cfg.head == 0:
+        (probs,) = raw_scales
+        return losses.classifier_loss(probs, truths.astype(jnp.int32))
     raise NotImplementedError("v1 training is out of scope (the reference "
                               "ships no v1 loss either; README todo, "
                               "YOLO_V3/.../README.md:32-37)")

@@ -293,3 +293,23 @@ def yolo_v2_loss(raw, targets, cfg, *, grid: int = 13,
     loss = 0.5 * jnp.mean(per_image)
     return loss, {"cost": loss, "avg_iou": jnp.sum(ious * mask[..., 0]) /
                   jnp.maximum(jnp.sum(mask), 1.0)}
+
+
+# --------------------------------------------------------------------------
+# Classifier loss (darknet cost/softmax layers, examples/classifier.c)
+# --------------------------------------------------------------------------
+
+def classifier_loss(logits_or_probs, labels, *, from_probs: bool = True):
+    """Softmax cross-entropy for head=0 models. Our classifier specs end in
+    an explicit Softmax layer (matching darknet's [softmax]+[cost]), so by
+    default this consumes probabilities; pass from_probs=False for raw
+    logits. labels: (B,) int class ids. Returns (loss, metrics)."""
+    if from_probs:
+        logp = jnp.log(jnp.maximum(logits_or_probs, 1e-12))
+    else:
+        logp = jax.nn.log_softmax(logits_or_probs, axis=-1)
+    B = labels.shape[0]
+    nll = -logp[jnp.arange(B), labels]
+    loss = jnp.mean(nll)
+    acc = jnp.mean((jnp.argmax(logp, -1) == labels).astype(jnp.float32))
+    return loss, {"cost": loss, "accuracy": acc}

@@ -38,4 +38,9 @@ def class_names(dataset: str):
         return VOC_CLASSES
     if dataset == "coco":
         return COCO_CLASSES
+    if dataset == "imagenet1k":
+        # the reference reads names from .data files (examples/classifier.c);
+        # placeholder ids keep the registry self-contained, pass a names
+        # file through the CLI for display names
+        return tuple(f"class_{i:04d}" for i in range(1000))
     raise ValueError(f"unknown dataset {dataset!r}")

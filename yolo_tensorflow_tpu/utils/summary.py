@@ -45,6 +45,10 @@ def summarize(cfg: C.ModelConfig, specs=None, input_size=None) -> str:
             desc = "flatten (CHW)"
         elif isinstance(spec, S.Dropout):
             desc = f"dropout {spec.rate}"
+        elif isinstance(spec, S.GlobalAvgPool):
+            desc = "avgpool (global)"
+        elif isinstance(spec, S.Softmax):
+            desc = "softmax"
         elif isinstance(spec, S.Detect):
             desc = f"detect v{cfg.head} mask={spec.anchor_mask}"
         else:
