@@ -103,3 +103,34 @@ def test_cli_summary_and_convert(tmp_path, capsys):
                    num_candidates=32)
     out = det.detect_batch(np.zeros((1, 64, 64, 3), np.uint8))
     assert out.boxes.shape[0] == 1
+
+
+def test_cli_eval_smoke(tmp_path, capsys):
+    """eval CLI over a synthetic darknet-list dataset -> mAP JSON."""
+    import cv2
+    from yolo_tensorflow_tpu import cli
+    img_dir = tmp_path / "images"
+    lab_dir = tmp_path / "labels"
+    img_dir.mkdir(); lab_dir.mkdir()
+    paths = []
+    for i in range(3):
+        p = img_dir / f"e{i}.jpg"
+        cv2.imwrite(str(p), np.full((80, 80, 3), 70, np.uint8))
+        (lab_dir / f"e{i}.txt").write_text("2 0.5 0.5 0.4 0.4\n")
+        paths.append(str(p))
+    lst = tmp_path / "val.txt"
+    lst.write_text("\n".join(paths) + "\n")
+
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(2), folded=True)
+    npz = tmp_path / "m.npz"
+    cli._save_npz_params(jax.tree.map(np.asarray, params), str(npz))
+
+    cli.main(["eval", "--model", "yolov2-tiny-voc", "--input-size", "64",
+              "--weights", str(npz), "--list", str(lst),
+              "--conf-threshold", "0.01"])
+    out = json.loads(capsys.readouterr().out)
+    assert "map" in out and 0.0 <= out["map"] <= 1.0
+    assert out["num_classes_evaluated"] == 1

@@ -23,7 +23,10 @@ def run_training(args):
     from yolo_tensorflow_tpu.parallel import mesh as M
     from yolo_tensorflow_tpu.train import loop as T
 
-    cfg = C.get_config(args.model)
+    overrides = {}
+    if getattr(args, "input_size", None):
+        overrides["input_size"] = args.input_size
+    cfg = C.get_config(args.model, **overrides)
     samples = load_darknet_list(args.list)
     print(f"{len(samples)} training samples")
 
@@ -41,6 +44,8 @@ def run_training(args):
         params, stats, _ = W.load_darknet_weights(
             specs, cfg.input_size, args.weights, fold=False,
             bn_eps=cfg.bn_eps)
+        if not stats:
+            raise ValueError("training needs unfolded BN weights")
         state = state._replace(params=jax.tree.map(np.asarray, params),
                                batch_stats=jax.tree.map(np.asarray, stats))
 
