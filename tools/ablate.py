@@ -2,8 +2,6 @@
 pipeline to locate the bottleneck (backbone vs decode vs NMS), across batch
 sizes. Not part of the test suite."""
 
-import functools
-import os
 import time
 
 import numpy as np
@@ -26,7 +24,6 @@ def main():
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.models import engine, heads
     from yolo_tensorflow_tpu.pipeline import make_forward, normalize_images
-    from yolo_tensorflow_tpu.post import nms as NMS
 
     cfg = C.get_config("yolov3")
     specs = C.build_specs(cfg)

@@ -16,7 +16,6 @@ import ctypes as ct
 import os
 import shutil
 import subprocess
-import tempfile
 
 import numpy as np
 

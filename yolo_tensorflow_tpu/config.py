@@ -8,8 +8,8 @@ YOLOV3.py:8-12) and hard-coded literals in the pipeline classes.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 from yolo_tensorflow_tpu.utils.labels import class_names
 

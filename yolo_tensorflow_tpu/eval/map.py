@@ -9,7 +9,7 @@ area-under-PR) and COCO-style mAP@[.5:.95].
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -11,11 +11,8 @@ consumer that knows nothing about the model (see cli.py ``serve``/``detect
 
 from __future__ import annotations
 
-import io
 import json
-import os
 import zipfile
-from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import numpy as np
 import jax

@@ -17,8 +17,7 @@ Training-mode batch statistics live in a separate ``batch_stats`` pytree
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

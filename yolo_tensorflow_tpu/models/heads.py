@@ -12,11 +12,8 @@ All outputs are in normalized image coordinates (0..1):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from yolo_tensorflow_tpu.config import ModelConfig
 

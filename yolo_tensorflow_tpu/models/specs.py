@@ -17,7 +17,6 @@ the engine as a special case).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Tuple
 

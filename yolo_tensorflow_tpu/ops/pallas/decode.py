@@ -24,11 +24,9 @@ tests/test_pallas_decode.py (interpret mode on CPU, compiled on TPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -10,9 +10,7 @@ prefetcher in data/loader.py).
 
 from __future__ import annotations
 
-import functools
-import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import os
 import queue
 import threading
 import time
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -9,8 +9,7 @@ ICI — GSPMD inserts the psum from the sharding annotations alone.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional, Sequence
+from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -143,7 +142,7 @@ def make_sharded_train_step(cfg: C.ModelConfig, tx, mesh, **kw):
     rep = M.replicated(mesh)
     return jax.jit(
         step,
-        in_shardings=(None, M.image_sharding(mesh), M.batch_sharding(mesh)),
+        in_shardings=(rep, M.image_sharding(mesh), M.batch_sharding(mesh)),
         out_shardings=None,
         donate_argnums=(0,),
     )

@@ -24,7 +24,6 @@ jit/pjit friendly (fori_loop scatters, no dynamic shapes).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ every 10 batches, periodic checkpoints, per-step Region-style stat lines.
 from __future__ import annotations
 
 import time
-from typing import Optional
-
 import numpy as np
 
 MULTISCALE_SIZES = tuple(range(320, 640, 32))  # 320..608 (detector.c:63-71)
