@@ -31,8 +31,9 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    size = int(os.environ.get("BENCH_SIZE", "416"))
 
-    cfg = C.get_config("yolov3")
+    cfg = C.get_config("yolov3", input_size=size)
     specs = C.build_specs(cfg)
     params, _ = engine.init_params(
         specs, (1, cfg.input_size, cfg.input_size, 3),
@@ -79,7 +80,7 @@ def main():
     p50_ms = float(np.median(lats) * 1e3)
 
     print(json.dumps({
-        "metric": "yolov3-416 batched images/sec/chip (device, incl. on-device NMS)",
+        "metric": f"yolov3-{size} batched images/sec/chip (device, incl. on-device NMS)",
         "value": round(ips, 1),
         "unit": "images/sec",
         "vs_baseline": round(ips / 1500.0, 3),

@@ -132,3 +132,42 @@ def test_loader_batches_and_order():
     imgs, truths = next(loader_eval.epoch(shuffle=False))
     assert imgs.shape == (4, 32, 32, 3)
     np.testing.assert_array_equal(np.unique(imgs[0]), [0])  # image 0 constant
+
+
+def test_loader_deterministic_across_runs():
+    """Same seed -> identical batches regardless of worker count — the
+    deterministic replacement for darknet's racy buffer-swap loader."""
+    samples = [D.Sample(f"mem://{i}",
+                        np.asarray([[0.5, 0.5, 0.5, 0.5, 0]], np.float32))
+               for i in range(12)]
+
+    def read_fn(path):
+        i = int(path.split("//")[1])
+        rng = np.random.default_rng(i)
+        return rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)
+
+    def run(workers):
+        loader = DetectionLoader(samples, batch_size=4, size=48, train=True,
+                                 num_workers=workers, seed=7,
+                                 read_fn=read_fn)
+        return list(loader.epoch())
+
+    a, b = run(1), run(4)
+    assert len(a) == len(b) == 3
+    for (ia, ta), (ib, tb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
+
+
+def test_loader_multiscale_resize():
+    samples = [D.Sample(f"mem://{i}", np.zeros((0, 5), np.float32))
+               for i in range(8)]
+    read_fn = lambda p: np.zeros((60, 60, 3), np.uint8)
+    loader = DetectionLoader(samples, batch_size=4, size=32, train=True,
+                             num_workers=1, prefetch=1, read_fn=read_fn)
+    gen = loader.epoch()
+    first = next(gen)[0]
+    assert first.shape[1] == 32
+    loader.set_size(64)
+    second = next(gen)[0]
+    assert second.shape[1] in (32, 64)  # prefetched batch may be old size

@@ -61,6 +61,7 @@ def _make_model(name, rng):
     ("yolov3-tiny", 1e-4),
     ("yolov2", 2e-4),        # exercises the darknet reorg quirk
     ("yolov1-tiny", 1e-4),   # exercises connected + CHW flatten
+    ("yolov1", 5e-4),        # 24 convs + dropout(inference-noop) + 3 FCs
 ])
 def test_head_activations_match_c_oracle(oracle, name, rel_tol, rng,
                                          tmp_path):

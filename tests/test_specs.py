@@ -59,3 +59,15 @@ def test_flop_counts(name, expected_bflops, tol):
     specs = C.build_specs(cfg)
     bflops = engine.count_flops(specs, (1, cfg.input_size, cfg.input_size, 3)) / 1e9
     assert abs(bflops - expected_bflops) < tol, bflops
+
+
+def test_yolov3_608_shapes():
+    """Fully-convolutional at any multiple of 32 (multi-scale inference)."""
+    cfg = C.get_config("yolov3", input_size=608)
+    specs = C.build_specs(cfg)
+    shapes = engine.infer_shapes(specs, (1, 608, 608, 3))
+    got = [shapes[i - 1] for i, s in enumerate(specs)
+           if isinstance(s, S.Detect)]
+    assert got == [(1, 19, 19, 255), (1, 38, 38, 255), (1, 76, 76, 255)]
+    bflops = engine.count_flops(specs, (1, 608, 608, 3)) / 1e9
+    assert abs(bflops - 140.7) < 3  # darknet prints ~140.7 for yolov3-608

@@ -127,8 +127,9 @@ class DetectionLoader:
         results_lock = threading.Lock()
         next_emit = [0]
 
+        epoch_id = self._epoch
+
         def worker(wid):
-            wrng = np.random.default_rng((self.seed, self._epoch, wid))
             while not stop.is_set():
                 try:
                     bi = work_q.get_nowait()
@@ -136,7 +137,11 @@ class DetectionLoader:
                     return
                 size = self._size  # snapshot (multi-scale may change it)
                 idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-                imgs, tr = self._load_batch(idx, size, wrng)
+                # per-BATCH rng: augmentation is a pure function of
+                # (seed, epoch, batch index), independent of which worker
+                # runs it or how many there are
+                brng = np.random.default_rng((self.seed, epoch_id, bi))
+                imgs, tr = self._load_batch(idx, size, brng)
                 with results_lock:
                     results[bi] = (imgs, tr)
                 # emit in order
