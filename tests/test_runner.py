@@ -57,3 +57,16 @@ def test_run_training_and_resume(tmp_path, capsys):
     import json
     meta = json.loads((ckpt_dir / "latest.json").read_text())
     assert meta["step"] == 6
+
+
+def test_in_training_eval(tmp_path, capsys):
+    """--val-list + --eval-every produce mAP lines during training."""
+    from yolo_tensorflow_tpu.train.runner import run_training
+    lst = _make_dataset(tmp_path)
+    args = _args(tmp_path, lst, steps=2, ckpt_dir=tmp_path / "ck")
+    args.val_list = lst
+    args.eval_every = 2
+    args.save_every = 100
+    run_training(args)
+    out = capsys.readouterr().out
+    assert "val mAP@0.5" in out

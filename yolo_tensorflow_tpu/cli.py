@@ -294,6 +294,8 @@ def main(argv=None):
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--input-size", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run val-list mAP every N steps (needs --val-list)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("bench", help="throughput benchmark")

@@ -11,6 +11,45 @@ import numpy as np
 MULTISCALE_SIZES = tuple(range(320, 640, 32))  # 320..608 (detector.c:63-71)
 
 
+def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25):
+    """In-training mAP eval — validate_detector (examples/detector.c:364)
+    folded into the loop instead of writing files for external scorers."""
+    import jax
+    import cv2
+    import numpy as np
+    from yolo_tensorflow_tpu.eval.map import evaluate_detections
+    from yolo_tensorflow_tpu.io.weights import fold_params
+    from yolo_tensorflow_tpu.pipeline import Detector
+
+    folded = fold_params(specs, jax.tree.map(np.asarray, state.params),
+                         jax.tree.map(np.asarray, state.batch_stats),
+                         cfg.bn_eps)
+    det = Detector(cfg.name, params=folded, input_size=cfg.input_size,
+                   conf_threshold=conf, max_detections=50)
+    if limit:
+        samples = samples[:limit]
+    dets, gts = [], []
+    for s in samples:
+        img = cv2.cvtColor(cv2.imread(s.image_path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        res = det.detect(img)
+        dets.append({
+            "boxes": np.asarray([r["box"] for r in res],
+                                np.float32).reshape(-1, 4),
+            "scores": np.asarray([r["score"] for r in res], np.float32),
+            "classes": np.asarray([r["class_id"] for r in res], np.int32)})
+        gb = s.boxes
+        gts.append({
+            "boxes": np.stack([(gb[:, 0] - gb[:, 2] / 2) * w,
+                               (gb[:, 1] - gb[:, 3] / 2) * h,
+                               (gb[:, 0] + gb[:, 2] / 2) * w,
+                               (gb[:, 1] + gb[:, 3] / 2) * h], 1)
+            if len(gb) else np.zeros((0, 4), np.float32),
+            "classes": gb[:, 4].astype(np.int32) if len(gb)
+            else np.zeros((0,), np.int32)})
+    return evaluate_detections(dets, gts, cfg.num_classes)
+
+
 def run_training(args):
     import jax
     from yolo_tensorflow_tpu import config as C
@@ -27,6 +66,9 @@ def run_training(args):
     cfg = C.get_config(args.model, **overrides)
     samples = load_darknet_list(args.list)
     print(f"{len(samples)} training samples")
+    val_samples = (load_darknet_list(args.val_list)
+                   if getattr(args, "val_list", None) else None)
+    eval_every = getattr(args, "eval_every", 0) or 0
 
     n_dev = len(jax.devices())
     num_data = args.num_data or (n_dev // args.num_spatial)
@@ -88,6 +130,12 @@ def run_training(args):
                 if step_i % args.save_every == 0:
                     path = ckpt.save_train_state(state, args.ckpt_dir, step_i)
                     print(f"saved {path}")
+                if val_samples and eval_every and step_i % eval_every == 0:
+                    m = evaluate_model(cfg, C.build_specs(cfg), state,
+                                       val_samples, limit=200)
+                    print(f"step {step_i}: val mAP@0.5 = {m['map']:.4f} "
+                          f"({m['num_classes_evaluated']} classes)",
+                          flush=True)
                 if step_i >= args.steps:
                     break
     ckpt.save_train_state(state, args.ckpt_dir, step_i)
