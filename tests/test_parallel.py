@@ -108,3 +108,27 @@ def test_sharded_inference_matches_replicated():
     np.testing.assert_allclose(np.asarray(ref.scores), np.asarray(got.scores),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ref.num), np.asarray(got.num))
+
+
+def test_detector_with_mesh_matches_single():
+    """Detector(mesh=...) serves sharded batches with identical results."""
+    from yolo_tensorflow_tpu.pipeline import Detector
+    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, SIZE, SIZE, 3),
+                                   jax.random.PRNGKey(3), folded=True)
+    images = np.random.default_rng(4).integers(
+        0, 255, (8, SIZE, SIZE, 3), dtype=np.uint8)
+
+    plain = Detector("yolov3-tiny", params=params, input_size=SIZE,
+                     num_candidates=32)
+    want = plain.detect_batch(images)
+
+    mesh = M.make_mesh(4, 2)
+    sharded = Detector("yolov3-tiny", params=params, input_size=SIZE,
+                       num_candidates=32, mesh=mesh)
+    with mesh:
+        got = sharded.detect_batch(images)
+    np.testing.assert_array_equal(np.asarray(want.num), np.asarray(got.num))
+    np.testing.assert_allclose(np.asarray(want.scores),
+                               np.asarray(got.scores), rtol=1e-4, atol=1e-6)

@@ -88,7 +88,7 @@ class Detector:
 
     def __init__(self, model: str, weights_path: Optional[str] = None, *,
                  params=None, compute_dtype=None, donate: bool = False,
-                 letterbox: bool = False, **overrides):
+                 letterbox: bool = False, mesh=None, **overrides):
         # letterbox=True: aspect-preserving pad-resize + box un-mapping,
         # darknet's test path (src/image.c:960 letterbox_image +
         # correct_yolo_boxes); False: stretch resize like the reference TF
@@ -113,7 +113,19 @@ class Detector:
             jax.tree.map(jnp.asarray, params))
         fwd = make_forward(self.cfg, self.specs,
                            compute_dtype=compute_dtype, **nms_kwargs)
-        self._jit_forward = jax.jit(fwd, donate_argnums=(1,) if donate else ())
+        self.mesh = mesh
+        if mesh is not None:
+            # scale-out batched serving: params replicated, images sharded
+            # batch-over-data / height-over-spatial; GSPMD does the rest
+            from yolo_tensorflow_tpu.parallel import mesh as M
+            self.params = jax.device_put(self.params, M.replicated(mesh))
+            self._image_sharding = M.image_sharding(mesh)
+            self._jit_forward = jax.jit(
+                fwd, in_shardings=(M.replicated(mesh), self._image_sharding),
+                donate_argnums=(1,) if donate else ())
+        else:
+            self._jit_forward = jax.jit(
+                fwd, donate_argnums=(1,) if donate else ())
 
     # -- single image ------------------------------------------------------
     def detect(self, image: np.ndarray):
@@ -154,6 +166,8 @@ class Detector:
     def detect_batch(self, images_uint8) -> NMS.Detections:
         """images_uint8: (B, S, S, 3) uint8 already sized to the model input.
         Returns device-resident fixed-shape Detections."""
+        if self.mesh is not None:
+            images_uint8 = jax.device_put(images_uint8, self._image_sharding)
         return self._jit_forward(self.params, images_uint8)
 
     def detect_from_file(self, path: str):
