@@ -29,7 +29,7 @@ def main():
     from yolo_tensorflow_tpu.models import engine
     from yolo_tensorflow_tpu.pipeline import make_forward
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     size = int(os.environ.get("BENCH_SIZE", "416"))
 
