@@ -132,3 +132,29 @@ def test_detector_with_mesh_matches_single():
     np.testing.assert_array_equal(np.asarray(want.num), np.asarray(got.num))
     np.testing.assert_allclose(np.asarray(want.scores),
                                np.asarray(got.scores), rtol=1e-4, atol=1e-6)
+
+
+def test_multi_step_equals_sequential():
+    from yolo_tensorflow_tpu.pipeline import normalize_images  # noqa: F401
+    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=4))
+    state0 = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                  input_size=SIZE)
+    images, truths = _batch(2)
+    ims = np.stack([images, images + 1, images + 2])
+    trs = np.stack([truths] * 3)
+
+    single = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE))
+    s = state0
+    for k in range(3):
+        s, m_last = single(s, ims[k], trs[k])
+
+    multi = jax.jit(T.make_multi_step(cfg, tx, 3, input_size=SIZE))
+    s2, ms = multi(state0, ims, trs)
+
+    assert int(s2.step) == 3
+    np.testing.assert_allclose(float(m_last["cost"]),
+                               float(ms["cost"][-1]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

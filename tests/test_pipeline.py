@@ -72,3 +72,20 @@ def test_normalization_modes():
     # the reference numpy-path /225 quirk is reproducible
     q = C.get_config("yolov2", input_scale=225.0)
     np.testing.assert_allclose(np.asarray(normalize_images(x, q)), 255 / 225)
+
+
+def test_yolov1_full_pipeline_end_to_end():
+    """v1 grid head through the public Detector (FC head, symmetric
+    normalization, class-agnostic NMS) at its native 448 input."""
+    cfg = C.get_config("yolov1-tiny")
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, 448, 448, 3),
+                                   jax.random.PRNGKey(5), folded=True)
+    det = Detector("yolov1-tiny", params=params, num_candidates=32)
+    img = np.random.default_rng(0).integers(0, 255, (200, 320, 3),
+                                            dtype=np.uint8)
+    results = det.detect(img)
+    for r in results:
+        assert 0 <= r["class_id"] < 20
+        x0, y0, x1, y1 = r["box"]
+        assert x0 <= x1 and y0 <= y1

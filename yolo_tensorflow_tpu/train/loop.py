@@ -146,3 +146,21 @@ def make_sharded_train_step(cfg: C.ModelConfig, tx, mesh, **kw):
         out_shardings=None,
         donate_argnums=(0,),
     )
+
+
+def make_multi_step(cfg: C.ModelConfig, tx, n_steps: int, **kw):
+    """Scan ``n_steps`` train steps inside one jit: (state, images (N,B,...),
+    truths (N,B,...)) -> (state, stacked metrics). One dispatch per N steps
+    amortizes host/launch overhead (essential on high-latency links, useful
+    everywhere); equivalent to N sequential steps by construction
+    (lax.scan over the same pure step)."""
+    step = make_train_step(cfg, tx, **kw)
+
+    def multi(state, images, truths):
+        def body(s, xt):
+            im, tr = xt
+            s, m = step(s, im, tr)
+            return s, m
+        return jax.lax.scan(body, state, (images, truths))
+
+    return multi
