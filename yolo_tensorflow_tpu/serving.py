@@ -63,16 +63,20 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
     SENTINEL = None
 
     def fetcher():
-        batch = []
-        for frame in frame_source(source, size, loops):
-            batch.append(frame)
-            if len(batch) == batch_size:
-                q.put(np.stack(batch))
-                batch = []
-        if batch:  # pad the tail to the compiled batch size
-            pad = np.zeros((batch_size - len(batch), size, size, 3), np.uint8)
-            q.put((np.concatenate([np.stack(batch), pad]), len(batch)))
-        q.put(SENTINEL)
+        try:
+            batch = []
+            for frame in frame_source(source, size, loops):
+                batch.append(frame)
+                if len(batch) == batch_size:
+                    q.put(np.stack(batch))
+                    batch = []
+            if batch:  # pad the tail to the compiled batch size
+                pad = np.zeros((batch_size - len(batch), size, size, 3),
+                               np.uint8)
+                q.put((np.concatenate([np.stack(batch), pad]), len(batch)))
+        finally:
+            # always unblock the consumer, even if the source raised
+            q.put(SENTINEL)
 
     t = threading.Thread(target=fetcher, daemon=True)
     t.start()
