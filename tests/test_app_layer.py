@@ -134,3 +134,58 @@ def test_cli_eval_smoke(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert "map" in out and 0.0 <= out["map"] <= 1.0
     assert out["num_classes_evaluated"] == 1
+
+
+CUSTOM_CFG = """[net]
+height=64
+width=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[convolutional]
+filters=21
+size=1
+stride=1
+pad=1
+activation=linear
+
+[yolo]
+mask=0,1,2
+anchors=10,14, 23,27, 37,58
+classes=2
+num=3
+"""
+
+
+def test_arbitrary_cfg_pipeline(tmp_path):
+    """Any darknet cfg + weights loads: parse -> config -> Detector (the
+    capability the reference needed five separate converter scripts for)."""
+    from yolo_tensorflow_tpu.config import config_from_cfg
+    from yolo_tensorflow_tpu.io import weights as W
+    cfg_path = tmp_path / "c.cfg"
+    cfg_path.write_text(CUSTOM_CFG)
+    (tmp_path / "names.txt").write_text("thing\nstuff\n")
+    cfg, specs = config_from_cfg(str(cfg_path),
+                                 class_names_file=str(tmp_path / "names.txt"))
+    assert cfg.num_classes == 2 and cfg.classes == ("thing", "stuff")
+    assert cfg.input_size == 64 and cfg.head == 3
+
+    params, stats = engine.init_params(specs, (1, 64, 64, 3),
+                                       jax.random.PRNGKey(0))
+    wp = tmp_path / "c.weights"
+    W.save_darknet_weights(specs, 64, jax.tree.map(np.asarray, params),
+                           stats, wp)
+    det = Detector(cfg, str(wp), specs=specs, num_candidates=16)
+    out = det.detect_batch(np.zeros((1, 64, 64, 3), np.uint8))
+    assert out.boxes.shape == (1, cfg.max_detections, 4)

@@ -22,7 +22,10 @@ from yolo_tensorflow_tpu.config import MODEL_NAMES
 
 
 def _add_model_args(p, weights_required=True):
-    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--model", choices=MODEL_NAMES,
+                   help="registry model (or use --cfg for any darknet cfg)")
+    p.add_argument("--cfg", help="arbitrary darknet .cfg file")
+    p.add_argument("--names", help="class-names file (one per line, for --cfg)")
     p.add_argument("--weights", required=weights_required,
                    help="darknet .weights file (or .npz checkpoint)")
     p.add_argument("--conf-threshold", type=float, default=None)
@@ -37,8 +40,6 @@ def _build_detector(args):
     import jax.numpy as jnp
     from yolo_tensorflow_tpu.pipeline import Detector
     over = {}
-    if args.input_size:
-        over["input_size"] = args.input_size
     nms = {k: getattr(args, k) for k in
            ("conf_threshold", "iou_threshold", "max_detections")
            if getattr(args, k) is not None}
@@ -47,6 +48,17 @@ def _build_detector(args):
     if weights and weights.endswith(".npz"):
         params = _load_npz_params(weights)
         weights = None
+    if getattr(args, "cfg", None):
+        from yolo_tensorflow_tpu.config import config_from_cfg
+        cfg, specs = config_from_cfg(args.cfg,
+                                     class_names_file=getattr(args, "names", None))
+        return Detector(cfg, weights, params=params, specs=specs,
+                        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                        **nms)
+    if not args.model:
+        raise SystemExit("need --model or --cfg")
+    if args.input_size:
+        over["input_size"] = args.input_size
     return Detector(args.model, weights, params=params,
                     compute_dtype=jnp.bfloat16 if args.bf16 else None,
                     **over, **nms)

@@ -50,6 +50,8 @@ class ModelConfig:
     # v1 grid head
     grid: int = 7
     boxes_per_cell: int = 2
+    # explicit class-name override (models loaded from arbitrary .cfg files)
+    custom_classes: Tuple = ()
 
     @property
     def num_classes(self) -> int:
@@ -57,7 +59,7 @@ class ModelConfig:
 
     @property
     def classes(self) -> Tuple[str, ...]:
-        return class_names(self.dataset)
+        return self.custom_classes or class_names(self.dataset)
 
     @property
     def num_anchors(self) -> int:
@@ -114,3 +116,50 @@ def build_specs(cfg: ModelConfig):
     if cfg.head == 2:
         return builder(cfg.num_classes, cfg.num_anchors)
     return builder(cfg.num_classes)
+
+
+def config_from_cfg(cfg_path: str, *, class_names_file: str = None,
+                    name: str = "custom"):
+    """Derive (ModelConfig, specs) from an arbitrary darknet .cfg — loads
+    any yolo/region/detection network the layer set supports, registry or
+    not (parse_network_cfg + the .data names file, examples/detector.c:8).
+    """
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+    specs, net, heads = parse_cfg_file(cfg_path)
+    if not heads:
+        raise ValueError("cfg has no [yolo]/[region]/[detection] head")
+    h0 = heads[0]
+    kind = h0["_type"]
+    input_size = int(net.get("height", 416))
+    ncls = int(h0.get("classes", 20))
+    if class_names_file:
+        with open(class_names_file) as f:
+            names = tuple(line.strip() for line in f if line.strip())
+        if len(names) != ncls:
+            raise ValueError(f"{len(names)} names vs classes={ncls} in cfg")
+    else:
+        names = tuple(f"class_{i:03d}" for i in range(ncls))
+
+    anchors: Tuple = ()
+    if "anchors" in h0:
+        vals = [float(v) for v in h0["anchors"].split(",")]
+        anchors = tuple((vals[i], vals[i + 1])
+                        for i in range(0, len(vals), 2))
+    if kind == "yolo":
+        cfg = ModelConfig(name=name, dataset="voc", head=3,
+                          input_size=input_size, anchors=anchors,
+                          anchor_units="pixel", class_softmax=False,
+                          custom_classes=names,
+                          conf_threshold=0.5, iou_threshold=0.5)
+    elif kind == "region":
+        cfg = ModelConfig(name=name, dataset="voc", head=2,
+                          input_size=input_size, anchors=anchors,
+                          anchor_units="grid", custom_classes=names,
+                          conf_threshold=0.5, iou_threshold=0.5)
+    else:  # detection (v1)
+        cfg = ModelConfig(name=name, dataset="voc", head=1,
+                          input_size=input_size, custom_classes=names,
+                          grid=int(h0.get("side", 7)),
+                          boxes_per_cell=int(h0.get("num", 2)),
+                          conf_threshold=0.2, iou_threshold=0.4)
+    return cfg, specs

@@ -98,8 +98,14 @@ class Detector:
                     "iou_threshold", "class_aware_nms", "fused_decode"}
         nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
                       if k in nms_keys}
-        self.cfg = C.get_config(model, **overrides)
-        self.specs = C.build_specs(self.cfg)
+        specs = overrides.pop("specs", None)
+        if isinstance(model, C.ModelConfig):
+            # arbitrary-cfg models (config_from_cfg) — not in the registry
+            self.cfg = model
+            self.specs = specs if specs is not None else C.build_specs(model)
+        else:
+            self.cfg = C.get_config(model, **overrides)
+            self.specs = specs if specs is not None else C.build_specs(self.cfg)
         if params is None:
             if weights_path is None:
                 raise ValueError("need weights_path or params")

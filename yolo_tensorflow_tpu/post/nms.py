@@ -95,6 +95,14 @@ def _nms_single(boxes, scores, labels, *, conf_threshold, iou_threshold,
     keep = _greedy_keep(iou, active, iou_threshold)
 
     final = jnp.where(keep, top_scores, -1.0)
+    if max_detections > k:
+        # fewer candidates than output slots: pad the candidate set
+        pad = max_detections - k
+        final = jnp.concatenate([final, jnp.full((pad,), -1.0)])
+        top_boxes = jnp.concatenate([top_boxes,
+                                     jnp.zeros((pad, 4), top_boxes.dtype)])
+        top_labels = jnp.concatenate([top_labels,
+                                      jnp.zeros((pad,), top_labels.dtype)])
     out_scores, sel = lax.top_k(final, max_detections)
     valid = out_scores > conf_threshold
     out_boxes = jnp.where(valid[:, None], top_boxes[sel], 0.0)
