@@ -71,7 +71,7 @@ def test_head_activations_match_c_oracle(oracle, name, rel_tol, rng,
     W.save_darknet_weights(specs, size, params, stats, wpath)
 
     img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
-    folded = W.fold_params(specs, params, stats, cfg.bn_eps, "darknet")
+    folded = W.fold_params(params, stats, cfg.bn_eps, "darknet")
     x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
     dets, _ = engine.apply(specs, folded, x, bn_eps=cfg.bn_eps)
     ours = [np.asarray(f[0]) for f, _ in dets]
@@ -150,7 +150,7 @@ def test_classifier_matches_c_oracle(oracle, rng, tmp_path):
         f.write(specs_to_cfg(cfg, specs))
 
     img = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
-    folded = W.fold_params(specs, params, stats, cfg.bn_eps, "darknet")
+    folded = W.fold_params(params, stats, cfg.bn_eps, "darknet")
     x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
     dets, _ = engine.apply(specs, folded, x, bn_eps=cfg.bn_eps)
     (ours, _), = dets
@@ -181,3 +181,72 @@ def test_parse_cfg_roundtrip_runs_identically(rng, tmp_path):
     for (a, sa), (b, sb) in zip(d1, d2):
         assert sa.anchor_mask == sb.anchor_mask
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+WEIRD_CFG = """[net]
+height=64
+width=64
+channels=3
+
+[convolutional]
+batch_normalize=1
+filters=16
+size=3
+stride=1
+activation=leaky
+
+[maxpool]
+stride=2
+
+[convolutional]
+filters=24
+size=3
+stride=1
+pad=1
+activation=logistic
+
+[convolutional]
+filters=8
+size=1
+stride=1
+activation=linear
+"""
+
+
+def test_parsed_cfg_geometry_matches_c_oracle(oracle, rng, tmp_path):
+    """cfgs using darknet DEFAULTS (conv without pad => no padding, maxpool
+    without size => size=stride, logistic activation) run identically in
+    both runtimes — the fidelity the parser must preserve for arbitrary
+    cfgs, not just ones this framework emitted."""
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg
+    cpath = str(tmp_path / "w.cfg")
+    with open(cpath, "w") as f:
+        f.write(WEIRD_CFG)
+    specs, net, _ = parse_cfg(WEIRD_CFG)
+    assert specs[0].pad == 0          # conv without pad: NO padding
+    assert specs[1].size == 2 and specs[1].stride == 2  # maxpool defaults
+    assert specs[2].act == "logistic"
+
+    params, stats = engine.init_params(specs, (1, 64, 64, 3),
+                                       jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, params)
+    for k in stats:
+        n = stats[k]["mean"].shape[0]
+        stats[k] = {"mean": rng.standard_normal(n).astype(np.float32) * 0.1,
+                    "var": rng.random(n).astype(np.float32) * 0.5 + 0.75}
+    wpath = str(tmp_path / "w.weights")
+    W.save_darknet_weights(specs, 64, params, stats, wpath)
+
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    folded = W.fold_params(params, stats, 1e-5, "darknet")
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    outs, _ = engine.apply(specs + (S.Detect(()),), folded, x)
+    (mine, _), = outs
+    mine = np.asarray(mine[0])
+
+    net_h = oracle.load(cpath, wpath)
+    H, Wd, Ch = mine.shape
+    ref = oracle.predict_raw(net_h, img, Ch * H * Wd) \
+        .reshape(Ch, H, Wd).transpose(1, 2, 0)
+    rel = np.abs(ref - mine).max() / (np.abs(ref).mean() + 1e-6)
+    assert rel < 1e-4, rel

@@ -54,8 +54,7 @@ def test_overfit_then_detect(model, steps, lr, rng):
         costs.append(float(m["cost"]))
     assert costs[-1] < costs[5] * 0.2, (costs[5], costs[-1])
 
-    folded = fold_params(C.build_specs(cfg), state.params,
-                         state.batch_stats, cfg.bn_eps)
+    folded = fold_params(state.params, state.batch_stats, cfg.bn_eps)
     det = Detector(model, params=folded, input_size=SIZE,
                    conf_threshold=0.3, num_candidates=64)
     res = det.detect(imgs[0])

@@ -88,8 +88,7 @@ def main(steps=1200, batch=32):
                   f"({batch*(i+1)/(time.time()-t0):.0f} img/s)", flush=True)
     print(f"trained in {time.time()-t0:.0f}s", flush=True)
 
-    folded = fold_params(C.build_specs(cfg), state.params, state.batch_stats,
-                         cfg.bn_eps)
+    folded = fold_params(state.params, state.batch_stats, cfg.bn_eps)
     det = Detector("yolov3-tiny", params=folded, input_size=SIZE,
                    conf_threshold=0.3, iou_threshold=0.45,
                    max_detections=10)

@@ -49,9 +49,15 @@ def _build_detector(args):
         params = _load_npz_params(weights)
         weights = None
     if getattr(args, "cfg", None):
+        import dataclasses
         from yolo_tensorflow_tpu.config import config_from_cfg
         cfg, specs = config_from_cfg(args.cfg,
                                      class_names_file=getattr(args, "names", None))
+        if args.input_size:
+            if cfg.head == 1:
+                raise SystemExit("--input-size cannot override a v1 (FC-head)"
+                                 " cfg: the dense layer fixes the input size")
+            cfg = dataclasses.replace(cfg, input_size=args.input_size)
         return Detector(cfg, weights, params=params, specs=specs,
                         compute_dtype=jnp.bfloat16 if args.bf16 else None,
                         **nms)
@@ -101,9 +107,8 @@ def cmd_detect(args):
                            "detected_" + os.path.basename(path))
         cv2.imwrite(out, img)
         if args.boxes_txt:
-            with open(args.boxes_txt, "a") as f:
-                for r in results:
-                    f.write(f"{r['class']},{','.join(f'{v:.1f}' for v in r['box'])},{r['score']:.4f}\n")
+            from yolo_tensorflow_tpu.utils.drawing import write_boxes_txt
+            write_boxes_txt(args.boxes_txt, results)
 
 
 def cmd_convert(args):

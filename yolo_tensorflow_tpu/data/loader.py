@@ -142,17 +142,15 @@ class DetectionLoader:
                 # runs it or how many there are
                 brng = np.random.default_rng((self.seed, epoch_id, bi))
                 imgs, tr = self._load_batch(idx, size, brng)
+                # emit strictly in order: pop AND put under one lock so two
+                # workers can never enqueue consecutive batches out of order
+                # (the consumer drains out_q without taking this lock, so a
+                # blocking put while holding it cannot deadlock)
                 with results_lock:
                     results[bi] = (imgs, tr)
-                # emit in order
-                while True:
-                    with results_lock:
-                        if next_emit[0] in results:
-                            item = results.pop(next_emit[0])
-                            next_emit[0] += 1
-                        else:
-                            break
-                    out_q.put(item)
+                    while next_emit[0] in results:
+                        out_q.put(results.pop(next_emit[0]))
+                        next_emit[0] += 1
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]

@@ -60,8 +60,11 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
             out.append(f"filters={spec.filters}")
             out.append(f"size={spec.size}")
             out.append(f"stride={spec.stride}")
-            out.append("pad=1")
-            out.append(f"activation={'leaky' if spec.act == 'leaky' else 'linear'}")
+            if spec.pad < 0 or spec.pad == spec.size // 2:
+                out.append("pad=1")
+            else:
+                out.append(f"padding={spec.pad}")
+            out.append(f"activation={spec.act if spec.act != 'linear' else 'linear'}")
         elif isinstance(spec, S.MaxPool):
             out.append("[maxpool]")
             out.append(f"size={spec.size}")
@@ -76,6 +79,10 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
             out.append(f"from={ref_to_dk(spec.ref, i) - n_emitted}")
             out.append("activation=linear")
         elif isinstance(spec, S.Reorg):
+            if spec.mode != "darknet":
+                raise ValueError(
+                    "cfg cannot represent Reorg(mode='space_to_depth') — "
+                    "darknet's [reorg] has different channel order")
             out.append("[reorg]")
             out.append(f"stride={spec.stride}")
         elif isinstance(spec, S.Upsample):
@@ -186,14 +193,29 @@ def parse_cfg(text: str):
     for name, opt in sections[1:]:
         dk_idx = len(dk_to_spec)
         if name == "convolutional":
-            act = opt.get("activation", "logistic")
-            idx = b.conv(geti(opt, "filters", 1), geti(opt, "size", 1),
-                         geti(opt, "stride", 1),
-                         bn=geti(opt, "batch_normalize", 0) == 1,
-                         act="leaky" if act == "leaky" else "linear")
+            act = opt.get("activation", "logistic")  # darknet default
+            if act not in ("leaky", "linear", "logistic"):
+                raise ValueError(
+                    f"unsupported conv activation {act!r} (supported: "
+                    "leaky, linear, logistic)")
+            size = geti(opt, "size", 1)
+            # darknet pad semantics (parser.c:133-135): padding=N explicit;
+            # pad=1 means size//2; default is NO padding
+            if "padding" in opt and "pad" not in opt:
+                pad = geti(opt, "padding", 0)
+            elif geti(opt, "pad", 0):
+                pad = size // 2
+            else:
+                pad = 0
+            idx = b.add(S.Conv(geti(opt, "filters", 1), size,
+                               geti(opt, "stride", 1),
+                               bn=geti(opt, "batch_normalize", 0) == 1,
+                               act=act, pad=pad))
         elif name == "maxpool":
-            size = geti(opt, "size", 2)
-            idx = b.maxpool(size, geti(opt, "stride", size))
+            # darknet defaults (parser.c:473-474): stride=1, size=stride
+            stride = geti(opt, "stride", 1)
+            size = geti(opt, "size", stride)
+            idx = b.maxpool(size, stride)
         elif name == "route":
             refs = tuple(remap(int(x), dk_idx)
                          for x in opt["layers"].split(","))
@@ -203,7 +225,7 @@ def parse_cfg(text: str):
         elif name == "reorg":
             idx = b.reorg(geti(opt, "stride", 2))
         elif name == "upsample":
-            idx = b.upsample()
+            idx = b.add(S.Upsample(geti(opt, "stride", 2)))
         elif name == "connected":
             # darknet flattens CHW implicitly; our NHWC engine needs the
             # explicit marker before the first connected layer

@@ -181,10 +181,17 @@ def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
             prev = shapes[i]
 
 
-def fold_params(specs, params, batch_stats, bn_eps: float,
-                bn_formula: str = "darknet"):
+def fold_params(params, batch_stats, bn_eps: float,
+                bn_formula: str = "tf"):
     """Fold a trained (unfolded-BN) parameter pytree into inference form
-    ({"w","b"} per conv) — the train->deploy hand-off."""
+    ({"w","b"} per conv) — the train->deploy hand-off.
+
+    Default formula is "tf" (gamma*rsqrt(var+eps)) because training-mode BN
+    (ops/layers.batch_norm_train) normalizes that way — folding natively
+    trained params with the darknet formula would skew deployment vs
+    training for small-variance channels. Pass "darknet" only when the
+    params came from a darknet .weights file (load_darknet_weights already
+    folds those itself with the right formula)."""
     out = {}
     for key, p in params.items():
         if "gamma" in p:

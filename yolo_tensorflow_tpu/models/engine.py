@@ -63,9 +63,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
     for i, spec in enumerate(specs):
         if isinstance(spec, S.Conv):
             p = params[layer_key(i)]
+            pad = None if spec.pad < 0 else spec.pad
             if spec.bn and "gamma" in p:
                 cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
-                               compute_dtype=compute_dtype)
+                               pad=pad, compute_dtype=compute_dtype)
                 if train:
                     cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"], bn_eps)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
@@ -76,9 +77,11 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             else:
                 # folded or bias-only conv
                 cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride,
-                               compute_dtype=compute_dtype)
+                               pad=pad, compute_dtype=compute_dtype)
             if spec.act == "leaky":
                 cur = L.leaky_relu(cur)
+            elif spec.act == "logistic":
+                cur = jax.nn.sigmoid(cur)
             if compute_dtype is not None and not train:
                 # keep activations narrow between layers: XLA fuses the cast
                 # into the conv epilogue, halving HBM traffic
@@ -136,7 +139,7 @@ def infer_shapes(specs, input_shape) -> list:
         if isinstance(spec, S.Conv):
             b, h, w, c = cur
             k, s = spec.size, spec.stride
-            p = k // 2
+            p = k // 2 if spec.pad < 0 else spec.pad
             oh = (h + 2 * p - k) // s + 1
             ow = (w + 2 * p - k) // s + 1
             cur = (b, oh, ow, spec.filters)

@@ -37,7 +37,8 @@ class Conv:
     size: int
     stride: int = 1
     bn: bool = True
-    act: str = "leaky"  # "leaky" | "linear"
+    act: str = "leaky"  # "leaky" | "linear" | "logistic"
+    pad: int = -1       # -1 = darknet pad=1 semantics (size//2); else explicit
 
 
 @dataclass(frozen=True)

@@ -61,22 +61,37 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
     size = detector.cfg.input_size
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     SENTINEL = None
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that aborts when the consumer stopped early, so the
+        fetcher (and its video capture) never blocks forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def fetcher():
         try:
             batch = []
             for frame in frame_source(source, size, loops):
+                if stop.is_set():
+                    return
                 batch.append(frame)
                 if len(batch) == batch_size:
-                    q.put(np.stack(batch))
+                    if not put(np.stack(batch)):
+                        return
                     batch = []
             if batch:  # pad the tail to the compiled batch size
                 pad = np.zeros((batch_size - len(batch), size, size, 3),
                                np.uint8)
-                q.put((np.concatenate([np.stack(batch), pad]), len(batch)))
+                put((np.concatenate([np.stack(batch), pad]), len(batch)))
         finally:
             # always unblock the consumer, even if the source raised
-            q.put(SENTINEL)
+            stop.is_set() or put(SENTINEL)
 
     t = threading.Thread(target=fetcher, daemon=True)
     t.start()
@@ -101,7 +116,9 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
         frames += valid
         batches += 1
         if max_batches and batches >= max_batches:
+            stop.set()  # release the fetcher (and its capture source)
             break
     dt = time.perf_counter() - t0
+    t.join(timeout=2.0)
     fps = frames / dt if dt > 0 else 0.0
     return frames, dt, fps

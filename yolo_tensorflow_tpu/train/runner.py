@@ -11,21 +11,32 @@ import numpy as np
 MULTISCALE_SIZES = tuple(range(320, 640, 32))  # 320..608 (detector.c:63-71)
 
 
-def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25):
+def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
+                   detector_cache=None):
     """In-training mAP eval — validate_detector (examples/detector.c:364)
-    folded into the loop instead of writing files for external scorers."""
+    folded into the loop instead of writing files for external scorers.
+    Pass a one-element list as ``detector_cache`` to reuse the compiled
+    Detector across eval rounds (params are a jit argument, so swapping
+    them does NOT recompile)."""
     import jax
     import cv2
     import numpy as np
+    import jax.numpy as jnp
     from yolo_tensorflow_tpu.eval.map import evaluate_detections
     from yolo_tensorflow_tpu.io.weights import fold_params
     from yolo_tensorflow_tpu.pipeline import Detector
 
-    folded = fold_params(specs, jax.tree.map(np.asarray, state.params),
+    folded = fold_params(jax.tree.map(np.asarray, state.params),
                          jax.tree.map(np.asarray, state.batch_stats),
                          cfg.bn_eps)
-    det = Detector(cfg.name, params=folded, input_size=cfg.input_size,
-                   conf_threshold=conf, max_detections=50)
+    if detector_cache is not None and detector_cache:
+        det = detector_cache[0]
+        det.params = jax.device_put(jax.tree.map(jnp.asarray, folded))
+    else:
+        det = Detector(cfg.name, params=folded, input_size=cfg.input_size,
+                       conf_threshold=conf, max_detections=50)
+        if detector_cache is not None:
+            detector_cache.append(det)
     if limit:
         samples = samples[:limit]
     dets, gts = [], []
@@ -69,6 +80,7 @@ def run_training(args):
     val_samples = (load_darknet_list(args.val_list)
                    if getattr(args, "val_list", None) else None)
     eval_every = getattr(args, "eval_every", 0) or 0
+    det_cache = []
 
     n_dev = len(jax.devices())
     num_data = args.num_data or (n_dev // args.num_spatial)
@@ -132,7 +144,8 @@ def run_training(args):
                     print(f"saved {path}")
                 if val_samples and eval_every and step_i % eval_every == 0:
                     m = evaluate_model(cfg, C.build_specs(cfg), state,
-                                       val_samples, limit=200)
+                                       val_samples, limit=200,
+                                       detector_cache=det_cache)
                     print(f"step {step_i}: val mAP@0.5 = {m['map']:.4f} "
                           f"({m['num_classes_evaluated']} classes)",
                           flush=True)
