@@ -112,6 +112,29 @@ def main(steps=1200, batch=32):
     print(f"held-out mAP@0.5 = {out['map']:.4f}  per-class "
           f"{ {CLASSES[c]: round(v, 3) for c, v in out['ap_per_class'].items()} }",
           flush=True)
+
+    # int8: calibrate on training scenes, quantize, re-evaluate
+    from yolo_tensorflow_tpu.ops import quant as Q
+    specs = C.build_specs(cfg)
+    calib = [pool[i][0][:8] for i in range(8)]
+    scales = Q.calibrate_activations(specs, folded, calib, cfg=cfg)
+    qparams = Q.quantize_params(specs, folded, scales)
+    det_q = Detector("yolov3-tiny", params=qparams, input_size=SIZE,
+                     conf_threshold=0.3, iou_threshold=0.45,
+                     max_detections=10)
+    erng = np.random.default_rng(777)
+    dets_q = []
+    for _ in range(100):
+        img, _b = make_scene(erng)
+        res = det_q.detect(img)
+        dets_q.append({
+            "boxes": np.asarray([r["box"] for r in res],
+                                np.float32).reshape(-1, 4),
+            "scores": np.asarray([r["score"] for r in res], np.float32),
+            "classes": np.asarray([r["class_id"] for r in res], np.int32)})
+    out_q = evaluate_detections(dets_q, gts, 3)
+    print(f"int8 (w8a8) mAP@0.5 = {out_q['map']:.4f} "
+          f"(delta {out_q['map'] - out['map']:+.4f})", flush=True)
     return out["map"]
 
 

@@ -213,6 +213,44 @@ def cmd_stream(args):
           f"(batch {args.batch})")
 
 
+def cmd_quantize(args):
+    """Post-training int8 quantization: calibrate activation ranges on a
+    directory of images, emit a quantized .npz the detect/stream/eval
+    commands load transparently."""
+    import glob
+    import cv2
+    import jax
+    from yolo_tensorflow_tpu.config import get_config, build_specs
+    from yolo_tensorflow_tpu.io import weights as W
+    from yolo_tensorflow_tpu.ops import quant as Q
+    cfg = get_config(args.model, **({"input_size": args.input_size}
+                                    if args.input_size else {}))
+    specs = build_specs(cfg)
+    if args.weights.endswith(".npz"):
+        params = _load_npz_params(args.weights)
+    else:
+        params, _, _ = W.load_darknet_weights(
+            specs, cfg.input_size, args.weights, bn_eps=cfg.bn_eps, fold=True)
+    paths = sorted(glob.glob(os.path.join(args.calib_dir, "*")))[:args.calib_images]
+    if not paths:
+        raise SystemExit(f"no calibration images in {args.calib_dir}")
+    batches = []
+    for pth in paths:
+        img = cv2.imread(pth)
+        if img is None:
+            continue
+        img = cv2.cvtColor(cv2.resize(img, (cfg.input_size, cfg.input_size)),
+                           cv2.COLOR_BGR2RGB)
+        batches.append(img[None])
+    scales = Q.calibrate_activations(specs, params, batches, cfg=cfg)
+    qparams = Q.quantize_params(specs, params, scales)
+    _save_npz_params(qparams, args.out)
+    n_q = sum(1 for v in qparams.values() if "w_q" in v)
+    print(f"wrote {args.out}: {n_q} int8 convs, "
+          f"{len(qparams) - n_q} full-precision layers, "
+          f"calibrated on {len(batches)} images")
+
+
 def cmd_classify(args):
     import cv2
     from yolo_tensorflow_tpu.pipeline import Classifier
@@ -339,6 +377,16 @@ def main(argv=None):
     p.add_argument("--loops", type=int, default=1)
     p.add_argument("--max-batches", type=int, default=0)
     p.set_defaults(fn=cmd_stream)
+
+    p = sub.add_parser("quantize", help="post-training int8 quantization")
+    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--weights", required=True)
+    p.add_argument("--calib-dir", required=True,
+                   help="directory of calibration images")
+    p.add_argument("--calib-images", type=int, default=64)
+    p.add_argument("--input-size", type=int, default=None)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_quantize)
 
     p = sub.add_parser("classify", help="image classification (head=0 models)")
     p.add_argument("--model", required=True, choices=MODEL_NAMES)

@@ -64,7 +64,12 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         if isinstance(spec, S.Conv):
             p = params[layer_key(i)]
             pad = None if spec.pad < 0 else spec.pad
-            if spec.bn and "gamma" in p:
+            if "w_q" in p:
+                # int8 serving path (ops/quant.py): MXU runs int8 ~3x bf16
+                from yolo_tensorflow_tpu.ops.quant import conv2d_int8
+                cur = conv2d_int8(cur, p["w_q"], p["s_x"], p["s_w"], p["b"],
+                                  stride=spec.stride, pad=pad)
+            elif spec.bn and "gamma" in p:
                 cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
                                pad=pad, compute_dtype=compute_dtype)
                 if train:
