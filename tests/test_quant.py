@@ -80,3 +80,45 @@ def test_quantize_rejects_without_calibration():
     q = Q.quantize_params(specs, jax.tree.map(np.asarray, params), {})
     # without scales nothing quantizes; pipeline still runs f32
     assert all("w_q" not in v for v in q.values())
+
+
+def test_int8_activation_pipeline_close_to_mixed(rng):
+    """Full int8-activation path vs the mixed (bf16-between-layers) int8
+    path: same model, same calibration data, similar detections."""
+    import jax
+    cfg = C.get_config("yolov3-tiny", input_size=64)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0), folded=True)
+    params = jax.tree.map(np.asarray, params)
+    calib = [rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+             for _ in range(3)]
+
+    scales_in = Q.calibrate_activations(specs, params, calib, cfg=cfg)
+    qparams = Q.quantize_params(specs, params, scales_in)
+    out_scales = Q.calibrate_outputs(specs, params, calib, cfg=cfg)
+
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    fwd_i8 = jax.jit(Q.make_int8_forward(cfg, specs, out_scales,
+                                         num_candidates=64,
+                                         conf_threshold=0.3))
+    got = fwd_i8(qparams, imgs)
+
+    det_mixed = Detector("yolov3-tiny", params=qparams, input_size=64,
+                         num_candidates=64, conf_threshold=0.3)
+    want = det_mixed.detect_batch(imgs)
+
+    assert got.boxes.shape == want.boxes.shape
+    # both paths should agree on the rough detection picture
+    if int(want.num[0]) and int(got.num[0]):
+        assert abs(float(got.scores[0, 0]) - float(want.scores[0, 0])) < 0.2
+    # raw head parity: int8-act head features close to f32 head features
+    from yolo_tensorflow_tpu.pipeline import normalize_images
+    import jax.numpy as jnp
+    x = normalize_images(jnp.asarray(imgs), cfg)
+    d_f32, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps)
+    d_i8 = Q.apply_int8(specs, qparams, out_scales, x)
+    for (a, _sa), (b, _sb) in zip(d_f32, d_i8):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).mean() / (np.abs(a).std() + 1e-6)
+        assert rel < 0.15, rel

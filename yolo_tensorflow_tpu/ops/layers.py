@@ -86,8 +86,10 @@ def max_pool(x, size=2, stride=2):
     stride-1 size-2 pool6) uses SAME end-padding, matching
     slim.max_pool2d(..., stride=1, padding='SAME')."""
     padding = "VALID" if stride == size else "SAME"
+    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
-        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        x, jnp.asarray(init, x.dtype),
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

@@ -150,3 +150,168 @@ def conv2d_int8(x, w_q, s_x, s_w, b, *, stride=1, pad=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (s_x * s_w) + b
+
+
+# ---------------------------------------------------------------------------
+# Full int8-activation inference: int8 tensors BETWEEN layers
+#
+# Measured on v5e at yolov3-416: SLOWER than the mixed path above
+# (batch 256: 2825 vs 2916 img/s; batch 128: 2645 vs 2850). int8 tensors
+# carry (32, 128) tile constraints that force relayouts around
+# pools/concats, and the round+clip requant chains cost more VPU time than
+# the bf16 casts they replace — the mixed path's input-quantize is already
+# fused into the conv prologue. Kept as a parity-tested alternative
+# (tests/test_quant.py) and a baseline for future work; the mixed path is
+# the production default.
+# ---------------------------------------------------------------------------
+
+def calibrate_outputs(specs, params, batches, *, cfg,
+                      percentile: float = 99.9) -> Dict[int, float]:
+    """Record per-LAYER-OUTPUT activation scales (plus the network input as
+    index -1) for the int8-activation pipeline."""
+    from yolo_tensorflow_tpu.pipeline import normalize_images
+
+    maxes: Dict[int, float] = {}
+
+    def record(i, arr):
+        v = float(np.percentile(np.abs(np.asarray(arr, np.float32)),
+                                percentile))
+        maxes[i] = max(maxes.get(i, 0.0), v)
+
+    for images in batches:
+        x = normalize_images(jnp.asarray(images), cfg)
+        record(-1, x)
+        outputs = []
+        cur = x
+        for i, spec in enumerate(specs):
+            cur = _apply_one(specs, spec, i, params, cur, outputs, cfg)
+            if isinstance(spec, (S.Conv, S.Route, S.Shortcut)):
+                record(i, cur)
+            outputs.append(cur)
+    return {k: max(v, 1e-6) / 127.0 for k, v in maxes.items()}
+
+
+def _requant(x_f32, s_out):
+    return jnp.clip(jnp.round(x_f32 / s_out), -127, 127).astype(jnp.int8)
+
+
+def apply_int8(specs, qparams, out_scales: Dict[int, float], x_norm, *,
+               skip: Optional[set] = None):
+    """Fully int8-activation forward pass: activations stay int8 between
+    layers (halving inter-layer HBM traffic vs bf16 and eliminating the
+    per-conv re-quantize of the mixed path). Pools/upsample/reorg operate
+    on int8 directly (scale-invariant); adds/concats and activations happen
+    in f32 fused into the adjacent conv epilogues.
+
+    x_norm: normalized float input (B,H,W,3). Returns the engine-style
+    [(feature_map_f32, Detect)] list. Head convs (``skip``) run in f32.
+    """
+    from jax import lax
+    from yolo_tensorflow_tpu.ops import layers as L
+
+    skip = head_conv_layers(specs) if skip is None else skip
+    outputs = []   # (tensor, scale) — scale None => float tensor
+    detections = []
+
+    def fetch(ref, i):
+        r = S.resolve_ref(ref, i)
+        return (_requant(x_norm.astype(jnp.float32), out_scales[-1]),
+                out_scales[-1]) if r == S.INPUT else outputs[r]
+
+    def to_float(t, s):
+        return t if s is None else t.astype(jnp.float32) * s
+
+    cur = _requant(x_norm.astype(jnp.float32), out_scales[-1])
+    cur_s = out_scales[-1]
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            key = engine.layer_key(i)
+            p = qparams[key]
+            pad = spec.pad if spec.pad >= 0 else spec.size // 2
+            if "w_q" in p and cur_s is not None and i not in skip:
+                xq = cur  # already int8
+                acc = lax.conv_general_dilated(
+                    xq, p["w_q"], (spec.stride, spec.stride),
+                    ((pad, pad), (pad, pad)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * (cur_s * p["s_w"]) + p["b"]
+            else:
+                xf = to_float(cur, cur_s)
+                w = p["w_q"].astype(jnp.float32) * p["s_w"] \
+                    if "w_q" in p else p["w"]
+                y = L.conv2d(xf, w, p["b"], stride=spec.stride,
+                             pad=spec.pad if spec.pad >= 0 else None)
+            if spec.act == "leaky":
+                y = L.leaky_relu(y)
+            elif spec.act == "logistic":
+                y = jax.nn.sigmoid(y)
+            if i in out_scales and i not in skip:
+                cur, cur_s = _requant(y, out_scales[i]), out_scales[i]
+            else:
+                cur, cur_s = y, None
+        elif isinstance(spec, S.MaxPool):
+            cur = L.max_pool(cur, spec.size, spec.stride)  # int8-safe (max)
+        elif isinstance(spec, S.Route):
+            parts = [fetch(r, i) for r in spec.refs]
+            if len(parts) == 1:
+                cur, cur_s = parts[0]
+            else:
+                s_out = out_scales[i]
+                qs = [p[0] if (p[1] is not None and
+                               abs(p[1] - s_out) < 1e-12)
+                      else _requant(to_float(*p), s_out) for p in parts]
+                cur, cur_s = jnp.concatenate(qs, axis=-1), s_out
+        elif isinstance(spec, S.Shortcut):
+            other = fetch(spec.ref, i)
+            y = to_float(cur, cur_s) + to_float(*other)
+            s_out = out_scales[i]
+            cur, cur_s = _requant(y, s_out), s_out
+        elif isinstance(spec, S.Reorg):
+            fn = (L.darknet_reorg if spec.mode == "darknet"
+                  else L.space_to_depth)
+            cur = fn(cur, spec.stride)  # permutation: int8-safe
+        elif isinstance(spec, S.Upsample):
+            if spec.mode == "nearest":
+                cur = L.upsample_nearest(cur, spec.factor)  # int8-safe
+            else:
+                cur = L.upsample_bilinear_sym(
+                    to_float(cur, cur_s), spec.factor)
+                cur_s = None
+        elif isinstance(spec, S.Detect):
+            detections.append((to_float(cur, cur_s), spec))
+        else:
+            # flatten/dense/dropout/avgpool/softmax: float domain
+            cur = to_float(cur, cur_s)
+            cur_s = None
+            cur = _apply_one(specs, spec, i, qparams, cur,
+                             [to_float(*o) for o in outputs], None)
+        outputs.append((cur, cur_s))
+    return detections
+
+
+def make_int8_forward(cfg, specs, out_scales, **nms_kwargs):
+    """Full int8-activation detection forward:
+    (qparams, uint8 images) -> Detections. Same contract as
+    pipeline.make_forward; decode + NMS stay float."""
+    from yolo_tensorflow_tpu.models import heads
+    from yolo_tensorflow_tpu.pipeline import normalize_images
+    from yolo_tensorflow_tpu.post import nms as NMS
+
+    max_det = nms_kwargs.pop("max_detections", cfg.max_detections)
+    conf_t = nms_kwargs.pop("conf_threshold", cfg.conf_threshold)
+    iou_t = nms_kwargs.pop("iou_threshold", cfg.iou_threshold)
+    num_candidates = nms_kwargs.pop("num_candidates", 256)
+    class_aware = nms_kwargs.pop("class_aware_nms", cfg.class_aware_nms)
+
+    def forward(qparams, images_uint8):
+        x = normalize_images(images_uint8, cfg)
+        dets = apply_int8(specs, qparams, out_scales, x)
+        boxes_xywh, conf, probs = heads.decode(dets, cfg)
+        boxes = heads.xywh_to_xyxy(boxes_xywh)
+        return NMS.batched_nms(
+            boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
+            max_detections=max_det, num_candidates=num_candidates,
+            class_aware=class_aware)
+
+    return forward
