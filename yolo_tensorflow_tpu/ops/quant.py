@@ -22,7 +22,7 @@ story at all.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,9 +71,7 @@ def _apply_one(specs, spec, i, params, cur, outputs, cfg):
     from yolo_tensorflow_tpu.ops import layers as L
 
     def fetch(ref):
-        r = S.resolve_ref(ref, i)
-        raise_if = None  # input refs unsupported in calibration
-        return outputs[r]
+        return outputs[S.resolve_ref(ref, i)]
 
     if isinstance(spec, S.Conv):
         pad = None if spec.pad < 0 else spec.pad
