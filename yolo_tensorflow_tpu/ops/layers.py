@@ -86,10 +86,15 @@ def max_pool(x, size=2, stride=2):
     stride-1 size-2 pool6) uses SAME end-padding, matching
     slim.max_pool2d(..., stride=1, padding='SAME')."""
     padding = "VALID" if stride == size else "SAME"
-    init = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-            else jnp.iinfo(x.dtype).min)
+    # init must be a CONCRETE scalar (numpy, not jnp): a traced init breaks
+    # reduce_window's reverse-mode autodiff
+    import numpy as np
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = np.asarray(-np.inf, x.dtype)[()]
+    else:
+        init = np.asarray(np.iinfo(np.dtype(x.dtype)).min, x.dtype)[()]
     return lax.reduce_window(
-        x, jnp.asarray(init, x.dtype),
+        x, init,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),
