@@ -171,3 +171,40 @@ def test_loader_multiscale_resize():
     loader.set_size(64)
     second = next(gen)[0]
     assert second.shape[1] in (32, 64)  # prefetched batch may be old size
+
+
+def test_loader_early_abandon_reaps_threads():
+    """Closing the epoch() generator early must stop and join every worker
+    (a worker blocked publishing a ready batch still observes stop)."""
+    import threading
+    import time
+    samples = [D.Sample(f"mem://{i}", np.zeros((0, 5), np.float32))
+               for i in range(64)]
+
+    def read_fn(path):
+        return np.zeros((32, 32, 3), np.uint8)
+
+    base = threading.active_count()
+    ld = DetectionLoader(samples, batch_size=2, size=32, train=True,
+                         num_workers=6, prefetch=2, read_fn=read_fn)
+    for _ in range(3):
+        gen = ld.epoch()
+        next(gen)          # take one batch, workers race ahead
+        gen.close()        # abandon: finally sets stop + joins
+    time.sleep(0.3)
+    assert threading.active_count() <= base + 1, threading.active_count()
+
+
+def test_loader_worker_error_propagates():
+    """A failing read must raise in the consumer, not hang the epoch."""
+    samples = [D.Sample(f"mem://{i}", np.zeros((0, 5), np.float32))
+               for i in range(8)]
+
+    def read_fn(path):
+        raise OSError(f"boom {path}")
+
+    ld = DetectionLoader(samples, batch_size=2, size=32, train=True,
+                         num_workers=2, prefetch=2, read_fn=read_fn)
+    with pytest.raises(OSError, match="boom"):
+        for _ in ld.epoch():
+            pass

@@ -35,3 +35,68 @@ def test_export_roundtrip(tmp_path):
                                   np.asarray(live.num))
     np.testing.assert_allclose(np.asarray(got["detected_boxes"]),
                                np.asarray(live.boxes), rtol=1e-5, atol=1e-6)
+
+
+def _deterministic_tiny_detector(input_size=64):
+    """Zero weights + crafted head bias: anchor-0 at every cell predicts
+    class 7 with score sigmoid(4)*softmax ~= 0.93784 (the verify-drive
+    recipe)."""
+    cfg = C.get_config("yolov2-tiny-voc", input_size=input_size)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, input_size, input_size, 3),
+                                   jax.random.PRNGKey(0), folded=True)
+    params = jax.tree.map(lambda a: np.zeros_like(a), params)
+    head = sorted(params)[-1]
+    bias = np.zeros_like(params[head]["b"])
+    bias[4] = 4.0
+    bias[5 + 7] = 6.0
+    params[head]["b"] = bias
+    return Detector(cfg, params=params, specs=specs,
+                    num_candidates=32, max_detections=5)
+
+
+def test_artifact_detector_consumer(tmp_path):
+    """ArtifactDetector = the object_detect.py app: detects from the .ytt
+    alone, no model name/config, pixel-space boxes on the original image."""
+    from yolo_tensorflow_tpu.export import ArtifactDetector
+    det = _deterministic_tiny_detector()
+    path = tmp_path / "model.ytt"
+    export_detector(det, str(path), batch_size=1)
+
+    app = ArtifactDetector(str(path))
+    assert app.size == 64 and app.classes[7] == "cat"
+    img = np.full((100, 200, 3), 128, np.uint8)
+    res = app.detect(img)
+    assert res and all(r["class"] == "cat" for r in res)
+    assert all(abs(r["score"] - 0.93784) < 1e-3 for r in res)
+    # pixel-space on the ORIGINAL image: anchor 0 is 1.08x1.19 grid units
+    # of a 2-cell grid (64/32) -> w = 1.08/2*200 = 108 px
+    assert abs(res[0]["box"][2] - res[0]["box"][0] - 108.0) < 1.0
+
+
+def test_cli_detect_artifact_and_serve(tmp_path, capsys):
+    """detect --artifact and serve --watch --once run the consumer path."""
+    import json as _json
+    import cv2
+    from yolo_tensorflow_tpu import cli
+    det = _deterministic_tiny_detector()
+    art = tmp_path / "model.ytt"
+    export_detector(det, str(art), batch_size=1)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                np.full((80, 80, 3), 128, np.uint8))
+
+    out_dir = tmp_path / "out"
+    cli.main(["detect", "--artifact", str(art), str(img_dir / "a.jpg"),
+              "--out-dir", str(out_dir)])
+    out = capsys.readouterr().out
+    assert "cat" in out and (out_dir / "detected_a.jpg").exists()
+
+    cli.main(["serve", "--artifact", str(art), "--watch", str(img_dir),
+              "--once", "--out-dir", str(out_dir / "served")])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rec = _json.loads(lines[-1])
+    assert rec["image"].endswith("a.jpg")
+    assert rec["detections"][0]["class"] == "cat"
+    assert (out_dir / "served" / "detected_a.jpg").exists()

@@ -142,6 +142,262 @@ def test_v3_loss_value_is_delta_sq(rng):
     assert metrics["count"] >= 1
 
 
+# --------------------------------------------------------------------------
+# v2 darknet region loss vs a transcription of forward_region_layer
+# --------------------------------------------------------------------------
+
+def _region_delta_oracle(raw, truths, anchors, seen, hy, Cn):
+    """Sequential transcription of forward_region_layer
+    (src/region_layer.c:158-320), single image."""
+    H, W = raw.shape[0], raw.shape[1]
+    A = anchors.shape[0]
+    p = raw.reshape(H, W, A, 5 + Cn).astype(np.float64)
+    sxy = _sig(p[..., 0:2])
+    sobj = _sig(p[..., 4])
+    if hy.softmax:
+        e = np.exp(p[..., 5:] - p[..., 5:].max(-1, keepdims=True))
+        cls = e / e.sum(-1, keepdims=True)
+    else:
+        cls = _sig(p[..., 5:])
+    delta = np.zeros_like(p)
+    valid = [t for t in truths if t[2] > 0]
+
+    def pred_box(j, i, nn):
+        return np.array([
+            (i + sxy[j, i, nn, 0]) / W, (j + sxy[j, i, nn, 1]) / H,
+            np.exp(p[j, i, nn, 2]) * anchors[nn, 0] / W,
+            np.exp(p[j, i, nn, 3]) * anchors[nn, 1] / H])
+
+    for j in range(H):
+        for i in range(W):
+            for nn in range(A):
+                pred = pred_box(j, i, nn)
+                best_iou = 0.0
+                for t in valid:
+                    best_iou = max(best_iou, _iou_xywh_np(pred, t[:4]))
+                delta[j, i, nn, 4] = hy.noobject_scale * (0 - sobj[j, i, nn])
+                if best_iou > hy.thresh:
+                    delta[j, i, nn, 4] = 0.0
+                if seen < 12800:
+                    # delta_region_box toward the cell-centered anchor, .01
+                    delta[j, i, nn, 0] = .01 * (0.5 - sxy[j, i, nn, 0])
+                    delta[j, i, nn, 1] = .01 * (0.5 - sxy[j, i, nn, 1])
+                    delta[j, i, nn, 2] = .01 * (0.0 - p[j, i, nn, 2])
+                    delta[j, i, nn, 3] = .01 * (0.0 - p[j, i, nn, 3])
+
+    for t in valid:
+        i, j = int(t[0] * W), int(t[1] * H)
+        best_iou, best_n = 0.0, 0
+        for nn in range(A):
+            if hy.bias_match:
+                cand = np.array([0, 0, anchors[nn, 0] / W, anchors[nn, 1] / H])
+            else:
+                pb = pred_box(j, i, nn)
+                cand = np.array([0, 0, pb[2], pb[3]])
+            iou = _iou_xywh_np(np.array([0, 0, t[2], t[3]]), cand)
+            if iou > best_iou:
+                best_iou, best_n = iou, nn
+        scale = hy.coord_scale * (2 - t[2] * t[3])
+        delta[j, i, best_n, 0] = scale * ((t[0]*W - i) - sxy[j, i, best_n, 0])
+        delta[j, i, best_n, 1] = scale * ((t[1]*H - j) - sxy[j, i, best_n, 1])
+        delta[j, i, best_n, 2] = scale * (np.log(t[2]*W/anchors[best_n, 0]) -
+                                          p[j, i, best_n, 2])
+        delta[j, i, best_n, 3] = scale * (np.log(t[3]*H/anchors[best_n, 1]) -
+                                          p[j, i, best_n, 3])
+        iou = _iou_xywh_np(pred_box(j, i, best_n), t[:4])
+        tgt = iou if hy.rescore else 1.0
+        delta[j, i, best_n, 4] = hy.object_scale * (tgt - sobj[j, i, best_n])
+        c = int(t[4])
+        for k in range(Cn):
+            delta[j, i, best_n, 5 + k] = hy.class_scale * (
+                (1.0 if k == c else 0.0) - cls[j, i, best_n, k])
+    return delta
+
+
+@pytest.mark.parametrize("seen,bias_match,rescore", [
+    (0, True, True),         # warmup active, yolov2.cfg flags
+    (20000, True, True),     # past warmup
+    (20000, False, False),   # parser defaults (bias_match=0, rescore=0)
+])
+def test_region_delta_matches_oracle(seen, bias_match, rescore, rng):
+    cfg = C.get_config("yolov2-tiny-voc")
+    H = W = 5
+    Cn = 6
+    A = cfg.num_anchors
+    anchors = np.asarray(cfg.anchors, np.float32)
+    hy = losses.RegionHyper(bias_match=bias_match, rescore=rescore)
+    raw = rng.standard_normal((H, W, A * (5 + Cn)), dtype=np.float32)
+    truths = _sample_truths(rng, 6, 3, Cn)
+
+    delta, met = losses._region_delta(
+        jnp.asarray(raw), jnp.asarray(truths), jnp.asarray(anchors),
+        jnp.int32(seen), hy, Cn)
+    want = _region_delta_oracle(raw, truths, anchors, seen, hy, Cn)
+    np.testing.assert_allclose(np.asarray(delta), want, rtol=2e-4, atol=3e-5)
+    assert float(met["count"]) == 3
+
+
+def test_region_loss_gradient_is_minus_delta(rng):
+    cfg = C.get_config("yolov2-tiny-voc")
+    H = W = 3
+    A, Cn = cfg.num_anchors, cfg.num_classes
+    raw = rng.standard_normal((2, H, W, A * (5 + Cn)), dtype=np.float32)
+    truths = np.stack([_sample_truths(rng, 4, 2, Cn) for _ in range(2)])
+
+    def f(r):
+        loss, _ = losses.yolo_v2_region_loss(
+            r, jnp.asarray(truths), cfg, seen=jnp.int32(0))
+        return loss
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray(raw)))
+    anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32))
+    for b in range(2):
+        delta, _ = losses._region_delta(
+            jnp.asarray(raw[b]), jnp.asarray(truths[b]), anchors,
+            jnp.int32(0), losses.RegionHyper(), Cn)
+        np.testing.assert_allclose(
+            grad[b], -np.asarray(delta).reshape(H, W, -1) / 2,
+            rtol=1e-4, atol=1e-7)
+
+
+def test_region_loss_value_and_metrics(rng):
+    cfg = C.get_config("yolov2-tiny-voc")
+    raw = rng.standard_normal((1, 4, 4, cfg.num_anchors * 25), np.float32)
+    truths = _sample_truths(rng, 3, 2, 20)[None]
+    loss, met = losses.yolo_v2_region_loss(
+        jnp.asarray(raw), jnp.asarray(truths), cfg, seen=jnp.int32(20000))
+    anchors = jnp.asarray(np.asarray(cfg.anchors, np.float32))
+    delta, _ = losses._region_delta(
+        jnp.asarray(raw[0]), jnp.asarray(truths[0]), anchors,
+        jnp.int32(20000), losses.RegionHyper(), 20)
+    np.testing.assert_allclose(float(loss), float(jnp.sum(delta ** 2)),
+                               rtol=1e-5)
+    assert float(met["count"]) == 2
+    assert 0.0 <= float(met["recall"]) <= 1.0
+
+
+# --------------------------------------------------------------------------
+# v1 detection loss vs a transcription of forward_detection_layer
+# --------------------------------------------------------------------------
+
+def _v1_delta_oracle(pred, grid, hy, S, n, Cn):
+    """Sequential transcription of forward_detection_layer
+    (src/detection_layer.c:50-222), single image."""
+    locs = S * S
+    probs = pred[:locs * Cn].reshape(locs, Cn).astype(np.float64)
+    if hy.softmax:
+        e = np.exp(probs - probs.max(-1, keepdims=True))
+        probs = e / e.sum(-1, keepdims=True)
+    confs = pred[locs * Cn:locs * (Cn + n)].reshape(locs, n)
+    boxes = pred[locs * (Cn + n):].reshape(locs, n, 4)
+    dp = np.zeros_like(probs)
+    dc = np.zeros_like(confs)
+    db = np.zeros_like(boxes)
+    for i in range(locs):
+        for j in range(n):
+            dc[i, j] = hy.noobject_scale * (0 - confs[i, j])
+        if not grid[i, 0]:
+            continue
+        for c in range(Cn):
+            dp[i, c] = hy.class_scale * (grid[i, 1 + c] - probs[i, c])
+        truth = np.array([grid[i, 1 + Cn] / S, grid[i, 2 + Cn] / S,
+                          grid[i, 3 + Cn], grid[i, 4 + Cn]])
+        best_index, best_iou, best_rmse = -1, 0.0, 20.0
+        for j in range(n):
+            out = boxes[i, j].copy()
+            out[0] /= S
+            out[1] /= S
+            if hy.sqrt:
+                out[2] *= out[2]
+                out[3] *= out[3]
+            iou = _iou_xywh_np(out, truth)
+            rmse = np.sqrt(np.sum(np.square(out - truth)))
+            if best_iou > 0 or iou > 0:
+                if iou > best_iou:
+                    best_iou, best_index = iou, j
+            else:
+                if rmse < best_rmse:
+                    best_rmse, best_index = rmse, j
+        j = max(best_index, 0)
+        out = boxes[i, j].copy()
+        out[0] /= S
+        out[1] /= S
+        if hy.sqrt:
+            out[2] *= out[2]
+            out[3] *= out[3]
+        iou = _iou_xywh_np(out, truth)
+        tgt = iou if hy.rescore else 1.0
+        dc[i, j] = hy.object_scale * (tgt - confs[i, j])
+        db[i, j, 0] = hy.coord_scale * (grid[i, 1 + Cn] - boxes[i, j, 0])
+        db[i, j, 1] = hy.coord_scale * (grid[i, 2 + Cn] - boxes[i, j, 1])
+        tw, th = grid[i, 3 + Cn], grid[i, 4 + Cn]
+        if hy.sqrt:
+            tw, th = np.sqrt(tw), np.sqrt(th)
+        db[i, j, 2] = hy.coord_scale * (tw - boxes[i, j, 2])
+        db[i, j, 3] = hy.coord_scale * (th - boxes[i, j, 3])
+    return np.concatenate([dp.reshape(-1), dc.reshape(-1), db.reshape(-1)])
+
+
+@pytest.mark.parametrize("sqrt,rescore", [(True, True), (False, False)])
+def test_v1_delta_matches_oracle(sqrt, rescore, rng):
+    S, n, Cn = 4, 2, 5
+    hy = losses.DetectionHyper(sqrt=sqrt, rescore=rescore)
+    pred = rng.standard_normal((S * S * (Cn + n * 5),)).astype(np.float32)
+    truths = _sample_truths(rng, 4, 3, Cn)
+    grid = np.asarray(losses.build_v1_truth_grid(
+        jnp.asarray(truths)[None], Cn, S))[0]
+
+    delta, met = losses._v1_delta(jnp.asarray(pred), jnp.asarray(grid),
+                                  hy, S, n, Cn)
+    want = _v1_delta_oracle(pred, grid, hy, S, n, Cn)
+    np.testing.assert_allclose(np.asarray(delta), want, rtol=2e-4, atol=3e-5)
+    assert float(met["count"]) == float(grid[:, 0].sum())
+
+
+def test_v1_truth_grid():
+    truths = np.zeros((1, 4, 5), np.float32)
+    truths[0, 0] = [0.5, 0.5, 0.2, 0.3, 3]    # cell (3,3) of 7
+    truths[0, 1] = [0.52, 0.52, 0.1, 0.1, 1]  # same cell: first wins
+    truths[0, 2] = [0.1, 0.9, 0.001, 0.5, 2]  # w < .005: skipped
+    g = np.asarray(losses.build_v1_truth_grid(jnp.asarray(truths), 20, 7))
+    cell = 3 * 7 + 3
+    assert g[0, cell, 0] == 1.0
+    assert g[0, cell, 1 + 3] == 1.0 and g[0, cell, 1 + 1] == 0.0
+    np.testing.assert_allclose(
+        g[0, cell, 21:], [0.5 * 7 - 3, 0.5 * 7 - 3, 0.2, 0.3], rtol=1e-6)
+    assert g[0].sum(0)[0] == 1.0   # only one object cell
+
+
+def test_v1_loss_gradient_is_minus_delta(rng):
+    cfg = C.get_config("yolov1-tiny")
+    S, n, Cn = cfg.grid, cfg.boxes_per_cell, cfg.num_classes
+    pred = rng.standard_normal((2, S * S * (Cn + n * 5))).astype(np.float32)
+    truths = np.stack([_sample_truths(rng, 3, 2, Cn) for _ in range(2)])
+
+    def f(r):
+        loss, _ = losses.yolo_v1_loss(r, jnp.asarray(truths), cfg)
+        return loss
+
+    grad = np.asarray(jax.grad(f)(jnp.asarray(pred)))
+    grids = losses.build_v1_truth_grid(jnp.asarray(truths), Cn, S)
+    for b in range(2):
+        delta, _ = losses._v1_delta(jnp.asarray(pred[b]), grids[b],
+                                    losses.DetectionHyper(), S, n, Cn)
+        np.testing.assert_allclose(grad[b], -np.asarray(delta) / 2,
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_hyper_from_options():
+    hy = losses.RegionHyper.from_options(
+        {"thresh": "0.6", "object_scale": "5", "bias_match": "1",
+         "rescore": "1", "softmax": "1", "coord_scale": "1"})
+    assert hy.thresh == 0.6 and hy.object_scale == 5.0 and hy.bias_match
+    dy = losses.DetectionHyper.from_options(
+        {"coord_scale": "5", "noobject_scale": ".5", "sqrt": "1",
+         "rescore": "1"})
+    assert dy.coord_scale == 5.0 and dy.noobject_scale == 0.5 and dy.sqrt
+
+
 def test_v2_loss_oracle(rng):
     """yolo_v2_loss vs a numpy transcription of Loss.py:10-79."""
     cfg = C.get_config("yolov2-tiny-voc")

@@ -250,3 +250,155 @@ def test_parsed_cfg_geometry_matches_c_oracle(oracle, rng, tmp_path):
         .reshape(Ch, H, Wd).transpose(1, 2, 0)
     rel = np.abs(ref - mine).max() / (np.abs(ref).mean() + 1e-6)
     assert rel < 1e-4, rel
+
+
+# --------------------------------------------------------------------------
+# Final decoded-box parity: get_network_boxes (the C detect path) vs our
+# decode — boxes, objectness, and per-class probs, in darknet's own det
+# ordering (fill_network_boxes, src/network.c:542-560).
+# --------------------------------------------------------------------------
+
+from yolo_tensorflow_tpu.models import heads
+
+
+def _my_dets_darknet_order(cfg, specs, dets_out, thresh):
+    """Replicate get_yolo/region/detection_detections' extraction + ordering
+    from our decoded heads (square input => identity box correction)."""
+    out = []
+    for feat, det in dets_out:
+        if cfg.head == 3:
+            anchors = [cfg.anchors[i] for i in det.anchor_mask]
+            b, conf, probs = heads.decode_v3_scale(
+                feat, anchors, cfg.input_size, cfg.num_classes)
+        elif cfg.head == 2:
+            b, conf, probs = heads.decode_v2(feat, cfg)
+        else:
+            b, conf, probs = heads.decode_v1(feat, cfg)
+        b, conf, probs = (np.asarray(b)[0], np.asarray(conf)[0],
+                          np.asarray(probs)[0])
+        if cfg.head == 3:
+            # get_yolo_detections (yolo_layer.c:316): cell-major anchor-minor
+            # scan, count-compacted by objectness > thresh; prob = obj*p
+            # zeroed at <= thresh
+            for k in range(b.shape[0]):
+                if conf[k] <= thresh:
+                    continue
+                pr = conf[k] * probs[k]
+                pr[pr <= thresh] = 0.0
+                out.append((b[k], conf[k], pr))
+        elif cfg.head == 2:
+            # get_region_detections (region_layer.c:364): dets[n*HW + i] —
+            # anchor-major; objectness zeroed at <= thresh, probs only
+            # written when objectness survives
+            HW_A = b.shape[0]
+            A = cfg.num_anchors
+            HW = HW_A // A
+            for n in range(A):
+                for i in range(HW):
+                    k = i * A + n           # our cell-major index
+                    obj = conf[k] if conf[k] > thresh else 0.0
+                    pr = np.zeros(cfg.num_classes, np.float32)
+                    if obj:
+                        pr = conf[k] * probs[k]
+                        pr[pr <= thresh] = 0.0
+                    out.append((b[k], obj, pr))
+        else:
+            # get_detection_detections (detection_layer.c:225): dets[i*n+j]
+            # cell-major (our order); objectness is the RAW conf (can be
+            # negative); boxes scaled to pixels of (w,h) with NO correction
+            for k in range(b.shape[0]):
+                pr = conf[k] * probs[k]
+                pr[pr <= thresh] = 0.0
+                px = b[k] * cfg.input_size
+                out.append((px, conf[k], pr))
+    return out
+
+
+@pytest.mark.parametrize("name,thresh", [
+    ("yolov3-tiny", 0.3),
+    ("yolov2-tiny-voc", 0.3),
+    ("yolov1-tiny", 0.1),
+])
+def test_decoded_boxes_match_c_oracle(oracle, name, thresh, rng, tmp_path):
+    cfg, specs, params, stats = _make_model(name, rng)
+    size = cfg.input_size
+    wpath = str(tmp_path / "m.weights")
+    W.save_darknet_weights(specs, size, params, stats, wpath)
+    cpath = str(tmp_path / "m.cfg")
+    with open(cpath, "w") as f:
+        f.write(specs_to_cfg(cfg, specs))
+
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    folded = W.fold_params(params, stats, cfg.bn_eps, "darknet")
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    dets_out, _ = engine.apply(specs, folded, x, bn_eps=cfg.bn_eps)
+
+    net = oracle.load(cpath, wpath)
+    ref = oracle.boxes(net, img, cfg.num_classes, thresh=thresh)
+    mine = _my_dets_darknet_order(cfg, specs, dets_out, thresh)
+
+    assert len(ref) == len(mine), (len(ref), len(mine))
+    assert any(r["objectness"] > 0 for r in ref), "no live dets in sample"
+    # v1 boxes are pixel-space through 3 FCs — compare in relative units so
+    # the float32 matmul noise isn't amplified by the x448 scaling
+    bscale = 1.0 / cfg.input_size if cfg.head == 1 else 1.0
+    atol = 1e-4 if cfg.head == 1 else 2e-5
+    for r, (mb, mobj, mpr) in zip(ref, mine):
+        np.testing.assert_allclose(np.asarray(r["box"]) * bscale,
+                                   mb * bscale, rtol=1e-4, atol=atol)
+        np.testing.assert_allclose(r["objectness"], mobj,
+                                   rtol=1e-4, atol=atol)
+        np.testing.assert_allclose(np.asarray(r["prob"]), mpr,
+                                   rtol=1e-4, atol=atol)
+
+
+def test_letterbox_unmapping_matches_correct_yolo_boxes(oracle, rng,
+                                                        tmp_path):
+    """Boxes on a letterboxed non-square image: get_network_boxes with the
+    ORIGINAL (w,h) runs correct_yolo_boxes (yolo_layer.c:247); our
+    unletterbox_boxes must agree. 416x208 keeps the pad offset integral so
+    darknet's float-centre and its int embed agree exactly."""
+    from yolo_tensorflow_tpu.data.augment import letterbox, unletterbox_boxes
+    name = "yolov3-tiny"
+    thresh = 0.3
+    cfg, specs, params, stats = _make_model(name, rng)
+    size = cfg.input_size
+    wpath = str(tmp_path / "m.weights")
+    W.save_darknet_weights(specs, size, params, stats, wpath)
+    cpath = str(tmp_path / "m.cfg")
+    with open(cpath, "w") as f:
+        f.write(specs_to_cfg(cfg, specs))
+
+    w0, h0 = 416, 208
+    orig = rng.integers(0, 255, (h0, w0, 3), dtype=np.uint8)
+    boxed, scale, px, py = letterbox(orig, size)
+    assert (scale, px, py) == (1.0, 0, 104)
+
+    folded = W.fold_params(params, stats, cfg.bn_eps, "darknet")
+    x = jnp.asarray(boxed[None]).astype(jnp.float32) / 255.0
+    dets_out, _ = engine.apply(specs, folded, x, bn_eps=cfg.bn_eps)
+    mine = _my_dets_darknet_order(cfg, specs, dets_out, thresh)
+
+    net = oracle.load(cpath, wpath)
+    ref = oracle.boxes(net, boxed, cfg.num_classes, thresh=thresh,
+                       orig_wh=(w0, h0))
+    assert len(ref) == len(mine) and len(ref) > 0
+
+    for r, (mb, mobj, _) in zip(ref, mine):
+        # correct_yolo_boxes transcription applied to our network-space box
+        nw, nh = size, (h0 * size) // w0
+        ex = (mb[0] - (size - nw) / 2.0 / size) / (nw / size)
+        ey = (mb[1] - (size - nh) / 2.0 / size) / (nh / size)
+        ew = mb[2] * size / nw
+        eh = mb[3] * size / nh
+        np.testing.assert_allclose(np.asarray(r["box"]), [ex, ey, ew, eh],
+                                   rtol=1e-4, atol=2e-5)
+        # and the pipeline's own un-mapping agrees (pre-clip boxes)
+        xyxy = np.asarray([[mb[0] - mb[2]/2, mb[1] - mb[3]/2,
+                            mb[0] + mb[2]/2, mb[1] + mb[3]/2]], np.float32)
+        got = unletterbox_boxes(xyxy, w0, h0, size, scale, px, py)[0]
+        rx, ry, rw, rh = r["box"]
+        want = np.array([(rx - rw/2) * w0, (ry - rh/2) * h0,
+                         (rx + rw/2) * w0, (ry + rh/2) * h0])
+        want = np.clip(want, 0, [w0, h0, w0, h0])
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-2)

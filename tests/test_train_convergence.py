@@ -38,7 +38,7 @@ def _iou(a, b):
 
 @pytest.mark.parametrize("model,steps,lr", [
     ("yolov3-tiny", 120, 1e-3),
-    ("yolov2-tiny-voc", 150, 5e-4),
+    ("yolov2-tiny-voc", 150, 5e-4),       # darknet region loss (default)
 ])
 def test_overfit_then_detect(model, steps, lr, rng):
     cfg = C.get_config(model, input_size=SIZE)
@@ -64,3 +64,34 @@ def test_overfit_then_detect(model, steps, lr, rng):
           (t[0] + t[2] / 2) * SIZE, (t[1] + t[3] / 2) * SIZE)
     best = max(_iou(r["box"], tb) for r in res)
     assert best > 0.45, best
+
+
+def test_overfit_v1_then_detect(rng):
+    """v1 detection-layer loss (detection_layer.c:50) trains yolov1-tiny on
+    the synthetic task end to end; grid head decodes through Detector."""
+    import dataclasses
+    cfg = dataclasses.replace(C.get_config("yolov1-tiny"), input_size=SIZE,
+                              custom_classes=("obj",), grid=4,
+                              boxes_per_cell=2)
+    tx = T.make_optimizer(T.darknet_lr_schedule(2e-4, burn_in=20),
+                          weight_decay=0)
+    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(1),
+                                 input_size=SIZE)
+    step = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE))
+    imgs, truths = _batch(4, rng)
+    costs = []
+    for _ in range(200):
+        state, m = step(state, imgs, truths)
+        costs.append(float(m["cost"]))
+    assert costs[-1] < costs[5] * 0.2, (costs[5], costs[-1])
+
+    folded = fold_params(state.params, state.batch_stats, cfg.bn_eps)
+    det = Detector(cfg, params=folded, conf_threshold=0.25,
+                   num_candidates=32)
+    res = det.detect(imgs[0])
+    assert res, "no detections after overfitting"
+    t = truths[0, 0]
+    tb = ((t[0] - t[2] / 2) * SIZE, (t[1] - t[3] / 2) * SIZE,
+          (t[0] + t[2] / 2) * SIZE, (t[1] + t[3] / 2) * SIZE)
+    best = max(_iou(r["box"], tb) for r in res)
+    assert best > 0.4, best

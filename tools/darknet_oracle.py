@@ -90,13 +90,20 @@ class Oracle:
         return np.ctypeslib.as_array(ptr, shape=(out_size,)).copy()
 
     def boxes(self, net, image_u8: np.ndarray, num_classes: int,
-              thresh: float = 0.5):
-        """network_predict + get_network_boxes (relative coords, no NMS)."""
+              thresh: float = 0.5, orig_wh=None):
+        """network_predict + get_network_boxes (relative coords, no NMS).
+        orig_wh: (w, h) of the pre-letterbox image — passed through to
+        correct_yolo_boxes/correct_region_boxes exactly like the darknet
+        detect path (examples/detector.c test_detector); defaults to the
+        fed image's own size (identity correction)."""
         data = self.to_darknet_input(image_u8)
         self.lib.network_predict(
             net, data.ctypes.data_as(ct.POINTER(ct.c_float)))
         n = ct.c_int(0)
-        h, w = image_u8.shape[:2]
+        if orig_wh is None:
+            h, w = image_u8.shape[:2]
+        else:
+            w, h = orig_wh
         dets = self.lib.get_network_boxes(net, w, h, thresh, 0.5, None, 1,
                                           ct.byref(n))
         out = []

@@ -87,7 +87,15 @@ def _save_npz_params(params, path):
 
 def cmd_detect(args):
     import cv2
-    det = _build_detector(args)
+    if args.artifact:
+        # model-knowledge-free path (the object_detect.py consumer app,
+        # YOLO_V1/.../object_detect.py:256)
+        from yolo_tensorflow_tpu.export import ArtifactDetector
+        det = ArtifactDetector(args.artifact)
+    elif args.weights or args.cfg or args.model:
+        det = _build_detector(args)
+    else:
+        raise SystemExit("need --artifact, or --model/--cfg with --weights")
     os.makedirs(args.out_dir, exist_ok=True)
     for path in args.images:
         t0 = time.time()
@@ -166,6 +174,57 @@ def cmd_eval(args):
         out = evaluate_detections(dets, gts, n_cls,
                                   eleven_point=args.eleven_point)
     print(json.dumps(out, indent=2, default=float))
+
+
+def cmd_serve(args):
+    """Artifact serving loop — the standalone frozen-artifact app the
+    reference ships as object_detect.py (P3/P12/P22): consume a serialized
+    model by its named outputs only, no model code. Paths come from stdin
+    (one per line) or a watched directory; one JSON line out per image."""
+    import sys
+    from yolo_tensorflow_tpu.export import ArtifactDetector
+    det = ArtifactDetector(args.artifact)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+
+    def handle(path):
+        try:
+            t0 = time.time()
+            results = det.detect_from_file(path)
+            dt = (time.time() - t0) * 1e3
+        except (FileNotFoundError, OSError) as e:
+            print(json.dumps({"image": path, "error": str(e)}), flush=True)
+            return
+        print(json.dumps({"image": path, "ms": round(dt, 1),
+                          "detections": results}), flush=True)
+        if args.out_dir:
+            import cv2
+            from yolo_tensorflow_tpu.utils.drawing import draw_detections
+            img = cv2.imread(path)
+            draw_detections(img, results)
+            cv2.imwrite(os.path.join(args.out_dir,
+                                     "detected_" + os.path.basename(path)),
+                        img)
+
+    if args.watch:
+        exts = (".jpg", ".jpeg", ".png", ".bmp")
+        seen = set()
+        while True:
+            names = sorted(os.listdir(args.watch))
+            for name in names:
+                p = os.path.join(args.watch, name)
+                if p in seen or not name.lower().endswith(exts):
+                    continue
+                seen.add(p)
+                handle(p)
+            if args.once:
+                break
+            time.sleep(args.poll_interval)
+    else:
+        for line in sys.stdin:
+            path = line.strip()
+            if path:
+                handle(path)
 
 
 def cmd_train(args):
@@ -300,13 +359,30 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("detect", help="detect objects in images")
-    _add_model_args(p)
+    _add_model_args(p, weights_required=False)
     p.add_argument("images", nargs="+")
+    p.add_argument("--artifact", default=None,
+                   help="exported .ytt artifact — detect with zero model "
+                        "knowledge (the frozen-pb consumer path)")
     p.add_argument("--out-dir", default="out")
     p.add_argument("--boxes-txt", default=None,
                    help="append class,x0,y0,x1,y1,score lines (boxes.txt "
                         "format of YOLO_V1_Inference.py:418)")
     p.set_defaults(fn=cmd_detect)
+
+    p = sub.add_parser("serve",
+                       help="serve an exported artifact: read image paths "
+                            "from stdin (or --watch a directory), print one "
+                            "JSON line of detections per image")
+    p.add_argument("--artifact", required=True)
+    p.add_argument("--watch", default=None,
+                   help="poll this directory for new images instead of stdin")
+    p.add_argument("--out-dir", default=None,
+                   help="also write annotated copies here")
+    p.add_argument("--poll-interval", type=float, default=0.5)
+    p.add_argument("--once", action="store_true",
+                   help="with --watch: process current contents and exit")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("convert", help=".weights -> folded .npz checkpoint")
     _add_model_args(p)

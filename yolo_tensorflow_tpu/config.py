@@ -46,7 +46,10 @@ class ModelConfig:
     max_detections: int = 20
     class_aware_nms: bool = False     # reference in-graph NMS is class-agnostic
     class_softmax: bool = True        # v1/v2 softmax classes; v3 sigmoid
-    weights_header_ints: int = 4      # .weights header int32 count: 4 pre-v3, 5 v3-era
+    # NOTE: .weights header width (4 pre-v3 / 5 v3-era int32s) is NOT per-
+    # model config: the loader derives it from the file's own version ints
+    # (seen is int64 iff major*10+minor >= 2 — io/weights.py), which parses
+    # every era correctly where the reference hard-codes count=4/count=5.
     # v1 grid head
     grid: int = 7
     boxes_per_cell: int = 2
@@ -70,13 +73,11 @@ _CONFIGS = {
     "yolov3": ModelConfig(
         name="yolov3", dataset="coco", head=3, input_size=416,
         anchors=V3_COCO_ANCHORS, anchor_units="pixel", class_softmax=False,
-        weights_header_ints=5, conf_threshold=0.5, iou_threshold=0.5,
-        max_detections=20),
+        conf_threshold=0.5, iou_threshold=0.5, max_detections=20),
     "yolov3-tiny": ModelConfig(
         name="yolov3-tiny", dataset="coco", head=3, input_size=416,
         anchors=V3_TINY_ANCHORS, anchor_units="pixel", class_softmax=False,
-        weights_header_ints=5, conf_threshold=0.5, iou_threshold=0.5,
-        max_detections=20),
+        conf_threshold=0.5, iou_threshold=0.5, max_detections=20),
     "yolov2": ModelConfig(
         name="yolov2", dataset="coco", head=2, input_size=416,
         anchors=V2_COCO_ANCHORS, anchor_units="grid", bn_eps=1e-3,

@@ -124,43 +124,87 @@ class DetectionLoader:
             work_q.put(bi)
         stop = threading.Event()
         results = {}
-        results_lock = threading.Lock()
+        cond = threading.Condition()
         next_emit = [0]
+        errors = []
+        # workers may run at most this far ahead of the consumer — bounds
+        # memory without ever blocking a worker on out_q (a blocked worker
+        # can't observe stop, and under backpressure every worker would
+        # serialize behind the slot — the old head-of-line design)
+        window = self.prefetch + self.num_workers
 
         epoch_id = self._epoch
 
         def worker(wid):
-            while not stop.is_set():
-                try:
-                    bi = work_q.get_nowait()
-                except queue.Empty:
-                    return
-                size = self._size  # snapshot (multi-scale may change it)
-                idx = order[bi * self.batch_size:(bi + 1) * self.batch_size]
-                # per-BATCH rng: augmentation is a pure function of
-                # (seed, epoch, batch index), independent of which worker
-                # runs it or how many there are
-                brng = np.random.default_rng((self.seed, epoch_id, bi))
-                imgs, tr = self._load_batch(idx, size, brng)
-                # emit strictly in order: pop AND put under one lock so two
-                # workers can never enqueue consecutive batches out of order
-                # (the consumer drains out_q without taking this lock, so a
-                # blocking put while holding it cannot deadlock)
-                with results_lock:
-                    results[bi] = (imgs, tr)
-                    while next_emit[0] in results:
-                        out_q.put(results.pop(next_emit[0]))
-                        next_emit[0] += 1
+            try:
+                while not stop.is_set():
+                    try:
+                        bi = work_q.get_nowait()
+                    except queue.Empty:
+                        return
+                    with cond:
+                        while (bi >= next_emit[0] + window
+                               and not stop.is_set()):
+                            cond.wait(timeout=0.1)
+                    if stop.is_set():
+                        return
+                    size = self._size  # snapshot (multi-scale changes it)
+                    idx = order[bi * self.batch_size:
+                                (bi + 1) * self.batch_size]
+                    # per-BATCH rng: augmentation is a pure function of
+                    # (seed, epoch, batch index), independent of which worker
+                    # runs it or how many there are
+                    brng = np.random.default_rng((self.seed, epoch_id, bi))
+                    imgs, tr = self._load_batch(idx, size, brng)
+                    with cond:
+                        results[bi] = (imgs, tr)
+                        cond.notify_all()
+            except Exception as e:  # surface in the consumer, don't hang it
+                with cond:
+                    errors.append(e)
+                    stop.set()
+                    cond.notify_all()
+
+        def emitter():
+            """Single thread owns the ordered handoff to out_q; its blocking
+            put is outside any lock and re-checks stop every 100 ms."""
+            while next_emit[0] < n_batches and not stop.is_set():
+                with cond:
+                    while (next_emit[0] not in results
+                           and not stop.is_set()):
+                        cond.wait(timeout=0.1)
+                    if stop.is_set():
+                        return
+                    item = results.pop(next_emit[0])
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                with cond:
+                    next_emit[0] += 1
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, args=(w,), daemon=True)
                    for w in range(self.num_workers)]
+        threads.append(threading.Thread(target=emitter, daemon=True))
         for t in threads:
             t.start()
         try:
             for _ in range(n_batches):
-                yield out_q.get()
+                while True:
+                    try:
+                        item = out_q.get(timeout=0.5)
+                        break
+                    except queue.Empty:
+                        if errors:
+                            raise errors[0]
+                yield item
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()
             for t in threads:
                 t.join(timeout=1.0)
 

@@ -4,9 +4,12 @@ The reference freezes graphs with convert_variables_to_constants and ships
 .pb files consumed by a separate app that only knows 4 tensor names
 (yOLO_v2_export_graph.py:22-27, object_detect.py:61-90). Here the artifact
 is a ``jax.export`` StableHLO bundle with the weights baked in, plus a JSON
-manifest (model name, class names, thresholds, input spec) — loadable by a
-consumer that knows nothing about the model (see cli.py ``serve``/``detect
---artifact``).
+manifest (model name, class names, thresholds, input spec).
+
+Consumer side: ``LoadedArtifact`` (raw named-output call) and
+``ArtifactDetector`` (the object_detect.py ObjectDetectModel analogue:
+resize, run, pixel-space boxes, class names — zero model knowledge), driven
+by ``cli.py detect --artifact model.ytt img...`` and ``serve``.
 """
 
 from __future__ import annotations
@@ -75,3 +78,43 @@ class LoadedArtifact:
         the named outputs."""
         outs = self._exported.call(images_uint8)
         return dict(zip(self.manifest["outputs"], outs))
+
+
+class ArtifactDetector:
+    """Standalone artifact consumer app — the ObjectDetectModel analogue
+    (YOLO_V1/.../object_detect.py:34-90,161: load frozen graph by output
+    names, feed uint8, visualize). Knows nothing about the model beyond the
+    manifest: input shape, output names, class names."""
+
+    def __init__(self, path: str):
+        self.artifact = LoadedArtifact(path)
+        self.classes = self.artifact.classes
+        _, self.size, _, _ = self.artifact.input_shape
+
+    def detect(self, image: np.ndarray):
+        """image: HWC uint8 (RGB), any size. Returns the same list-of-dicts
+        contract as pipeline.Detector.detect (pixel-space boxes on the
+        original image)."""
+        import cv2
+        h, w = image.shape[:2]
+        resized = cv2.resize(image, (self.size, self.size),
+                             interpolation=cv2.INTER_LINEAR)
+        batch = np.broadcast_to(
+            resized[None], self.artifact.input_shape).copy()
+        outs = {k: np.asarray(v) for k, v in self.artifact(batch).items()}
+        n = int(outs["detected_num"][0])
+        boxes_px = outs["detected_boxes"][0, :n] * np.asarray(
+            [w, h, w, h], np.float32)
+        return [{
+            "class_id": int(outs["detected_classes"][0, i]),
+            "class": self.classes[int(outs["detected_classes"][0, i])],
+            "score": float(outs["detected_scores"][0, i]),
+            "box": tuple(float(v) for v in boxes_px[i]),
+        } for i in range(n)]
+
+    def detect_from_file(self, path: str):
+        import cv2
+        img = cv2.imread(path)
+        if img is None:
+            raise FileNotFoundError(path)
+        return self.detect(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))

@@ -2,10 +2,9 @@
 
 The reference round-trips TF ckpts via Saver (YOLO_V3_convert...py:75-76)
 and darknet does periodic .backup writes (examples/detector.c:132-143).
-Here: orbax when available, with a dependency-free npz fallback that
-flattens the pytree by path. Training resume restores params, batch stats,
-optimizer state and step (darknet's ``seen`` counter equivalent,
-src/parser.c:1259-1266).
+Here: a dependency-free npz format that flattens the pytree by path.
+Training resume restores params, batch stats, optimizer state and step
+(darknet's ``seen`` counter equivalent, src/parser.c:1259-1266).
 """
 
 from __future__ import annotations

@@ -32,7 +32,8 @@ def layer_key(i: int) -> str:
 
 
 def apply(specs, params, x, *, train: bool = False, batch_stats=None,
-          bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None):
+          bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None,
+          bn_formula: str = "darknet"):
     """Run the network.
 
     Args:
@@ -45,6 +46,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
       bn_eps: batch-norm epsilon (per-model, from ModelConfig).
       compute_dtype: conv compute dtype (e.g. jnp.bfloat16); None = input dtype.
       dropout_rng: PRNG key, required when train=True and the spec has Dropout.
+      bn_formula: unfolded inference-BN normalization — 'darknet'
+        (gamma/(sqrt(var)+1e-6), what .weights-era stats expect) or 'tf'
+        (gamma*rsqrt(var+eps), matching batch_norm_train — use for
+        natively-trained params evaluated unfolded so train/deploy agree).
 
     Returns:
       (detections, aux): ``detections`` is a list of (feature_map, Detect spec)
@@ -78,7 +83,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                 else:
                     st = batch_stats[layer_key(i)]
                     cur = L.batch_norm_inference(
-                        cur, p["gamma"], p["beta"], st["mean"], st["var"], bn_eps)
+                        cur, p["gamma"], p["beta"], st["mean"], st["var"],
+                        bn_eps, formula=bn_formula)
             else:
                 # folded or bias-only conv
                 cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride,

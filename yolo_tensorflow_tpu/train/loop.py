@@ -9,6 +9,7 @@ ICI — GSPMD inserts the psum from the sharding annotations alone.
 
 from __future__ import annotations
 
+import dataclasses as _dc
 from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
@@ -72,13 +73,22 @@ def create_train_state(cfg: C.ModelConfig, tx, rng, *,
 
 
 def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
-                    ignore_thresh=0.5, truth_thresh=1.0, input_size=None):
-    """Dispatch to the v2/v3 loss for the model family."""
+                    ignore_thresh=0.5, truth_thresh=1.0, input_size=None,
+                    seen=None, v2_variant: str = "darknet",
+                    region_hyper: Optional[losses.RegionHyper] = None,
+                    detection_hyper: Optional[losses.DetectionHyper] = None):
+    """Dispatch to the loss for the model family.
+
+    v2 trains with darknet's region_layer.c semantics by default (rescore,
+    bias-match warmup driven by ``seen``); v2_variant='tf' selects the TF
+    reference's Loss.py weighted MSE instead. v1 uses detection_layer.c.
+    ``seen`` is the traced images-processed counter (darknet *net.seen).
+    """
     if cfg.head == 3:
         masks = [spec.anchor_mask for spec in specs
                  if isinstance(spec, S.Detect)]
         eff_cfg = cfg if input_size is None else \
-            C.get_config(cfg.name, input_size=input_size)
+            _dc.replace(cfg, input_size=input_size)
         return losses.yolo_v3_loss(raw_scales, truths, eff_cfg,
                                    anchor_masks=masks,
                                    ignore_thresh=ignore_thresh,
@@ -86,27 +96,36 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
     if cfg.head == 2:
         (raw,) = raw_scales
         grid = raw.shape[1]
-        targets = losses.build_v2_targets(truths, cfg, grid)
-        return losses.yolo_v2_loss(raw, targets, cfg, grid=grid)
+        if v2_variant == "tf":
+            targets = losses.build_v2_targets(truths, cfg, grid)
+            return losses.yolo_v2_loss(raw, targets, cfg, grid=grid)
+        hyper = region_hyper or losses.RegionHyper()
+        return losses.yolo_v2_region_loss(raw, truths, cfg, seen=seen,
+                                          hyper=hyper)
+    if cfg.head == 1:
+        (pred_flat,) = raw_scales
+        hyper = detection_hyper or losses.DetectionHyper()
+        return losses.yolo_v1_loss(pred_flat, truths, cfg, hyper=hyper)
     if cfg.head == 0:
         (probs,) = raw_scales
         return losses.classifier_loss(probs, truths.astype(jnp.int32))
-    raise NotImplementedError("v1 training is out of scope (the reference "
-                              "ships no v1 loss either; README todo, "
-                              "YOLO_V3/.../README.md:32-37)")
+    raise ValueError(f"unknown head {cfg.head}")
 
 
 def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
-                    ignore_thresh: float = 0.5, compute_dtype=None):
+                    ignore_thresh: float = 0.5, compute_dtype=None,
+                    **loss_kw):
     """Build the pure (state, images_u8, truths) -> (state, metrics) step.
 
     Multi-scale training (darknet's every-10-batches random resize,
     examples/detector.c:63-82) is expressed by building one step per input
-    size — each compiles once and is cached by shape.
+    size — each compiles once and is cached by shape. Extra ``loss_kw``
+    (v2_variant, region_hyper, detection_hyper) pass to loss_for_config;
+    the darknet ``seen`` counter is derived as step * batch.
     """
     specs = C.build_specs(cfg)
 
-    def loss_fn(params, batch_stats, images, truths, drng):
+    def loss_fn(params, batch_stats, images, truths, drng, seen):
         x = normalize_images(images, cfg)
         dets, aux = engine.apply(specs, params, x, train=True,
                                  bn_eps=cfg.bn_eps,
@@ -115,13 +134,15 @@ def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
         raw_scales = [f.astype(jnp.float32) for f, _ in dets]
         loss, metrics = loss_for_config(
             cfg, specs, raw_scales, truths,
-            ignore_thresh=ignore_thresh, input_size=input_size)
+            ignore_thresh=ignore_thresh, input_size=input_size,
+            seen=seen, **loss_kw)
         return loss, (aux["batch_stats"], metrics)
 
     def train_step(state: TrainState, images, truths):
         rng, drng = jax.random.split(state.rng)
+        seen = state.step * images.shape[0]
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, images, truths, drng)
+            state.params, state.batch_stats, images, truths, drng, seen)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         m = cfg.bn_momentum

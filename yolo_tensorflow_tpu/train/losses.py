@@ -12,9 +12,19 @@ exactly ``-delta``. We reproduce that bit-for-bit with a linear surrogate:
 whose gradient w.r.t. ``raw`` is ``-delta``; the *reported* cost is
 ``sum(delta^2)`` like darknet's ``*(l.cost) = pow(mag_array(l.delta),2)``.
 
-v2: the semantics of the reference's training contract,
+v2 (darknet, default): src/region_layer.c:158 forward_region_layer —
+noobject deltas with ignore threshold, the seen<12800 bias-matching warmup,
+per-truth best-anchor assignment with bias_match, rescore objectness, and
+softmax-class deltas. Same -delta gradient contract as v3.
+
+v2 (tf variant): the TF reference's training contract,
 YOLO_V2/.../Loss.py:10-79 — weighted MSE in (sigmoid-xy, sqrt-wh) space with
 best-IoU anchor masking. This one is an ordinary differentiable loss.
+
+v1: src/detection_layer.c:50 forward_detection_layer — MSE deltas on the raw
+FC outputs with per-cell best-box responsibility (IoU, rmse fallback),
+rescore, and sqrt-wh encoding. Gradient is -delta (backward_detection_layer
+axpy's delta straight into net.delta).
 
 Everything is batched, static-shape (truths padded to ``max_boxes`` with
 w==0 sentinels, matching darknet's ``if(!truth.x) break`` convention), and
@@ -23,6 +33,7 @@ jit/pjit friendly (fori_loop scatters, no dynamic shapes).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -292,6 +303,368 @@ def yolo_v2_loss(raw, targets, cfg, *, grid: int = 13,
     loss = 0.5 * jnp.mean(per_image)
     return loss, {"cost": loss, "avg_iou": jnp.sum(ious * mask[..., 0]) /
                   jnp.maximum(jnp.sum(mask), 1.0)}
+
+
+# --------------------------------------------------------------------------
+# YOLOv2 darknet-C loss (region_layer.c semantics)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RegionHyper:
+    """[region] section options (parse_region, src/parser.c:341-391).
+    Defaults are upstream yolov2.cfg's trained values."""
+    thresh: float = 0.6
+    object_scale: float = 5.0
+    noobject_scale: float = 1.0
+    class_scale: float = 1.0
+    coord_scale: float = 1.0
+    bias_match: bool = True
+    rescore: bool = True
+    softmax: bool = True
+    warmup_seen: int = 12800
+
+    @classmethod
+    def from_options(cls, opts):
+        """Build from a parsed [region] cfg section dict."""
+        kw = {}
+        for field, key in [("thresh", "thresh"),
+                           ("object_scale", "object_scale"),
+                           ("noobject_scale", "noobject_scale"),
+                           ("class_scale", "class_scale"),
+                           ("coord_scale", "coord_scale")]:
+            if key in opts:
+                kw[field] = float(opts[key])
+        for field, key in [("bias_match", "bias_match"),
+                           ("rescore", "rescore"), ("softmax", "softmax")]:
+            if key in opts:
+                kw[field] = bool(int(opts[key]))
+        return cls(**kw)
+
+
+def _region_delta(raw, truths, anchors, seen, hyper: RegionHyper,
+                  num_classes: int):
+    """Per-image delta, transcribing forward_region_layer
+    (src/region_layer.c:158-320). raw: (H, W, A*(5+C)) anchor-major per-cell
+    blocks of (tx, ty, tw, th, obj, classes); truths: (T, 5) normalized
+    (cx, cy, w, h, class) with w==0 tail padding (darknet stops at the first
+    truth.x==0, data is tail-padded the same way); anchors: (A, 2) in grid
+    units (l.biases); seen: traced image counter for the <12800 warmup.
+
+    Darknet activates xy/obj with LOGISTIC and classes with softmax in-place
+    (region_layer.c:163-185), then builds delta against the activated values
+    without applying activation derivatives (backward_region_layer_gpu
+    axpy's delta directly), so grad w.r.t. the raw map is exactly -delta.
+    softmax_tree (YOLO9000) is handled by yolo9000_region_loss, not here.
+    """
+    H, W = raw.shape[0], raw.shape[1]
+    A, C = anchors.shape[0], num_classes
+    T = truths.shape[0]
+    p = raw.reshape(H, W, A, 5 + C)
+
+    sxy = jax.nn.sigmoid(p[..., 0:2])
+    sobj = jax.nn.sigmoid(p[..., 4])
+    if hyper.softmax:
+        cls_out = jax.nn.softmax(p[..., 5:], axis=-1)
+    else:
+        cls_out = jax.nn.sigmoid(p[..., 5:])
+
+    # decoded pred boxes, normalized (get_region_box, region_layer.c:76-84)
+    col = lax.broadcasted_iota(jnp.float32, (H, W, A), 1)
+    row = lax.broadcasted_iota(jnp.float32, (H, W, A), 0)
+    bx = (col + sxy[..., 0]) / W
+    by = (row + sxy[..., 1]) / H
+    bw = jnp.exp(jnp.minimum(p[..., 2], 10.0)) * anchors[:, 0] / W
+    bh = jnp.exp(jnp.minimum(p[..., 3], 10.0)) * anchors[:, 1] / H
+    pred = jnp.stack([bx, by, bw, bh], -1)                      # (H,W,A,4)
+
+    tvalid = truths[:, 2] > 0
+    ious = _box_iou_xywh(pred[:, :, :, None, :],
+                         truths[None, None, None, :, :4])
+    ious = jnp.where(tvalid[None, None, None, :], ious, -1.0)
+    best_iou = jnp.max(ious, axis=-1)                           # (H,W,A)
+
+    delta = jnp.zeros((H, W, A, 5 + C), jnp.float32)
+    # noobj everywhere, zeroed above thresh (region_layer.c:243-250)
+    dobj = jnp.where(best_iou > hyper.thresh, 0.0,
+                     hyper.noobject_scale * (0.0 - sobj))
+    delta = delta.at[..., 4].set(dobj)
+
+    # bias-matching warmup (region_layer.c:256-263): while seen < 12800 every
+    # box is pulled toward its cell-centered anchor with scale .01 —
+    # tx=ty=.5, tw=th target log(1)=0 on the raw logits.
+    warm = (seen < hyper.warmup_seen).astype(jnp.float32) * 0.01
+    delta = delta.at[..., 0:2].set(warm * (0.5 - sxy))
+    delta = delta.at[..., 2:4].set(warm * (0.0 - p[..., 2:4]))
+
+    def per_truth(k, state):
+        delta, met = state
+        t = truths[k]
+        valid = t[2] > 0
+        ci = jnp.clip((t[0] * W).astype(jnp.int32), 0, W - 1)
+        cj = jnp.clip((t[1] * H).astype(jnp.int32), 0, H - 1)
+
+        # best anchor at the truth cell by origin-shifted IoU
+        # (region_layer.c:272-290); bias_match compares anchor wh, else the
+        # predicted wh at that cell.
+        if hyper.bias_match:
+            cand_wh = anchors / jnp.asarray([W, H], jnp.float32)     # (A,2)
+        else:
+            cand_wh = pred[cj, ci, :, 2:4]
+        zeros = jnp.zeros((A, 2), jnp.float32)
+        wh_iou = _box_iou_xywh(
+            jnp.concatenate([jnp.zeros(2), t[2:4]])[None, :],
+            jnp.concatenate([zeros, cand_wh], -1))
+        best_n = jnp.argmax(wh_iou)
+
+        # delta_region_box (region_layer.c:87-104) at (cj, ci, best_n)
+        scale = hyper.coord_scale * (2.0 - t[2] * t[3])
+        tx = t[0] * W - ci
+        ty = t[1] * H - cj
+        tw = jnp.log(jnp.maximum(t[2] * W / anchors[best_n, 0], 1e-9))
+        th = jnp.log(jnp.maximum(t[3] * H / anchors[best_n, 1], 1e-9))
+        dbox = jnp.stack([
+            scale * (tx - sxy[cj, ci, best_n, 0]),
+            scale * (ty - sxy[cj, ci, best_n, 1]),
+            scale * (tw - p[cj, ci, best_n, 2]),
+            scale * (th - p[cj, ci, best_n, 3]),
+        ])
+        iou = _box_iou_xywh(pred[cj, ci, best_n], t[:4])
+
+        # objectness (region_layer.c:300-308)
+        obj = sobj[cj, ci, best_n]
+        dobj = hyper.object_scale * ((iou if hyper.rescore else 1.0) - obj)
+
+        # class (delta_region_class, region_layer.c:112-139; tag=0 when
+        # softmax, so the full one-hot row is written)
+        cls = t[4].astype(jnp.int32)
+        dcls = hyper.class_scale * (jax.nn.one_hot(cls, C) -
+                                    cls_out[cj, ci, best_n])
+
+        new = jnp.concatenate([dbox, dobj[None], dcls])
+        cur = delta[cj, ci, best_n]
+        delta = delta.at[cj, ci, best_n].set(jnp.where(valid, new, cur))
+
+        do = valid.astype(jnp.float32)
+        met = {
+            "count": met["count"] + do,
+            "iou_sum": met["iou_sum"] + do * iou,
+            "recall": met["recall"] + do * (iou > 0.5),
+            "obj_sum": met["obj_sum"] + do * obj,
+            "cls_sum": met["cls_sum"] + do * cls_out[cj, ci, best_n, cls],
+        }
+        return delta, met
+
+    met0 = {k: jnp.float32(0) for k in
+            ("count", "iou_sum", "recall", "obj_sum", "cls_sum")}
+    delta, met = lax.fori_loop(0, T, per_truth, (delta, met0))
+    met["avg_anyobj"] = jnp.mean(sobj)
+    return delta, met
+
+
+def yolo_v2_region_loss(raw, truths, cfg, *, seen=None,
+                        hyper: RegionHyper = RegionHyper()):
+    """Darknet-exact v2 training loss (forward_region_layer,
+    src/region_layer.c:158). raw: (B, H, W, A*(5+C)); truths: (B, T, 5)
+    normalized with w==0 padding; seen: images processed so far (traced ok),
+    drives the <12800 bias-match warmup — None means past warmup.
+    cfg.anchors must be in grid units (anchor_units == 'grid').
+
+    Returns (loss, metrics): loss value is sum(delta^2) (darknet's
+    *(l.cost) = pow(mag_array(l.delta),2)) and its gradient w.r.t. raw is
+    -delta/batch via the linear surrogate; metrics mirror the Region
+    stat line (region_layer.c:319)."""
+    B = raw.shape[0]
+    anchors = jnp.asarray(cfg.anchors, jnp.float32)
+    seen_v = jnp.asarray(hyper.warmup_seen if seen is None else seen,
+                         jnp.int32)
+    fn = functools.partial(_region_delta, anchors=anchors, seen=seen_v,
+                           hyper=hyper, num_classes=cfg.num_classes)
+    delta, met = jax.vmap(fn)(raw, truths)
+    delta = lax.stop_gradient(delta)
+    # 1/batch: darknet applies learning_rate/batch at update time
+    surrogate = -jnp.sum(delta.reshape(B, -1) * raw.reshape(B, -1)) / B
+    cost = jnp.sum(jnp.square(delta))
+    count = jnp.maximum(jnp.sum(met["count"]), 1.0)
+    metrics = {
+        "cost": cost,
+        "avg_iou": jnp.sum(met["iou_sum"]) / count,
+        "avg_cat": jnp.sum(met["cls_sum"]) / count,
+        "avg_obj": jnp.sum(met["obj_sum"]) / count,
+        "avg_anyobj": jnp.mean(met["avg_anyobj"]),
+        "recall": jnp.sum(met["recall"]) / count,
+        "count": jnp.sum(met["count"]),
+    }
+    loss = surrogate - lax.stop_gradient(surrogate) + lax.stop_gradient(cost)
+    return loss, metrics
+
+
+# --------------------------------------------------------------------------
+# YOLOv1 loss (detection_layer.c semantics)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DetectionHyper:
+    """[detection] section options (parse_detection, src/parser.c:393-415).
+    Defaults are upstream yolov1.cfg's trained values. ``random`` (random
+    responsibility while seen<64000, detection_layer.c:143) and ``forced``
+    are not implemented — both default to 0 in every shipped v1 cfg."""
+    object_scale: float = 1.0
+    noobject_scale: float = 0.5
+    class_scale: float = 1.0
+    coord_scale: float = 5.0
+    sqrt: bool = True
+    rescore: bool = True
+    softmax: bool = False
+
+    @classmethod
+    def from_options(cls, opts):
+        kw = {}
+        for field in ("object_scale", "noobject_scale", "class_scale",
+                      "coord_scale"):
+            if field in opts:
+                kw[field] = float(opts[field])
+        for field in ("sqrt", "rescore", "softmax"):
+            if field in opts:
+                kw[field] = bool(int(opts[field]))
+        return cls(**kw)
+
+
+def build_v1_truth_grid(truths, num_classes: int, side: int):
+    """(B, T, 5) padded truths -> (B, S*S, 1+C+4) dense grid targets,
+    transcribing fill_truth_region (src/data.c:254-300): per box, cell
+    (col,row) = int(xy*S); first box per cell wins; boxes with w or h < .005
+    skipped; row layout [is_obj, one-hot classes, x-cell-offset,
+    y-cell-offset, w, h]."""
+    S, C = side, num_classes
+    B, T, _ = truths.shape
+
+    def one(tr):
+        grid = jnp.zeros((S * S, 1 + C + 4), jnp.float32)
+
+        def body(k, grid):
+            t = tr[k]
+            valid = (t[2] >= 0.005) & (t[3] >= 0.005)
+            col = jnp.clip((t[0] * S).astype(jnp.int32), 0, S - 1)
+            row = jnp.clip((t[1] * S).astype(jnp.int32), 0, S - 1)
+            cell = row * S + col
+            free = grid[cell, 0] == 0.0
+            onehot = jax.nn.one_hot(t[4].astype(jnp.int32), C)
+            rowvec = jnp.concatenate([
+                jnp.ones(1), onehot,
+                jnp.stack([t[0] * S - col, t[1] * S - row, t[2], t[3]])])
+            return grid.at[cell].set(
+                jnp.where(valid & free, rowvec, grid[cell]))
+
+        return lax.fori_loop(0, T, body, grid)
+
+    return jax.vmap(one)(truths)
+
+
+def _v1_delta(pred, truth_grid, hyper: DetectionHyper, side: int,
+              num_boxes: int, num_classes: int):
+    """Per-image delta, transcribing forward_detection_layer
+    (src/detection_layer.c:50-222). pred: flat (S*S*C + S*S*n + S*S*n*4)
+    raw FC output in darknet order [class probs | confidences | boxes];
+    truth_grid: (S*S, 1+C+4) from build_v1_truth_grid."""
+    S, n, C = side, num_boxes, num_classes
+    locs = S * S
+    probs = pred[:locs * C].reshape(locs, C)
+    if hyper.softmax:
+        probs = jax.nn.softmax(probs, axis=-1)
+    confs = pred[locs * C:locs * (C + n)].reshape(locs, n)
+    boxes = pred[locs * (C + n):].reshape(locs, n, 4)
+
+    is_obj = truth_grid[:, 0]                                    # (locs,)
+    t_cls = truth_grid[:, 1:1 + C]                               # (locs,C)
+    t_box = truth_grid[:, 1 + C:]                                # (locs,4)
+
+    # class deltas for object cells (detection_layer.c:98-104)
+    dprobs = hyper.class_scale * (t_cls - probs) * is_obj[:, None]
+
+    # responsibility: per object cell pick best of n boxes by IoU, falling
+    # back to rmse while every IoU is zero (detection_layer.c:106-136).
+    # Boxes compared with xy as cell-offset/side and (optionally squared) wh.
+    truth_cmp = jnp.concatenate(
+        [t_box[:, 0:2] / S, t_box[:, 2:4]], -1)                  # (locs,4)
+    wh = jnp.square(boxes[..., 2:4]) if hyper.sqrt else boxes[..., 2:4]
+    out_cmp = jnp.concatenate([boxes[..., 0:2] / S, wh], -1)     # (locs,n,4)
+    ious = _box_iou_xywh(out_cmp, truth_cmp[:, None, :])         # (locs,n)
+    rmses = jnp.sqrt(jnp.sum(jnp.square(out_cmp - truth_cmp[:, None, :]),
+                             -1))
+
+    # sequential argmax replicating the C scan: once any iou > 0 has been
+    # seen the rmse branch is dead; best_index starts -1 (C would index OOB;
+    # with rmse init 20 that needs rmse >= 20 on every box — we clamp to 0).
+    best_index = jnp.full((locs,), -1, jnp.int32)
+    best_iou = jnp.zeros((locs,))
+    best_rmse = jnp.full((locs,), 20.0)
+    for j in range(n):
+        iou_j, rmse_j = ious[:, j], rmses[:, j]
+        cond = (best_iou > 0) | (iou_j > 0)
+        pick = jnp.where(cond, iou_j > best_iou, rmse_j < best_rmse)
+        best_index = jnp.where(pick, j, best_index)
+        best_iou = jnp.where(pick & cond, iou_j, best_iou)
+        best_rmse = jnp.where(pick & ~cond, rmse_j, best_rmse)
+    best = jnp.maximum(best_index, 0)
+
+    sel = jax.nn.one_hot(best, n) * is_obj[:, None]              # (locs,n)
+    iou_best = jnp.take_along_axis(ious, best[:, None], 1)[:, 0]
+    conf_best = jnp.take_along_axis(confs, best[:, None], 1)[:, 0]
+
+    # confidence deltas: noobject everywhere, object/rescore at the
+    # responsible box (detection_layer.c:85, :160-168)
+    dconfs = hyper.noobject_scale * (0.0 - confs)
+    tgt = iou_best if hyper.rescore else jnp.ones_like(iou_best)
+    dconfs = jnp.where(sel > 0,
+                       (hyper.object_scale * (tgt - conf_best))[:, None],
+                       dconfs)
+
+    # coord deltas at the responsible box (detection_layer.c:170-177);
+    # sqrt: targets are sqrt(w),sqrt(h) against the raw outputs
+    twh = jnp.sqrt(t_box[:, 2:4]) if hyper.sqrt else t_box[:, 2:4]
+    t_enc = jnp.concatenate([t_box[:, 0:2], twh], -1)            # (locs,4)
+    dboxes = hyper.coord_scale * (t_enc[:, None, :] - boxes) * sel[..., None]
+
+    delta = jnp.concatenate(
+        [dprobs.reshape(-1), dconfs.reshape(-1), dboxes.reshape(-1)])
+    met = {
+        "count": jnp.sum(is_obj),
+        "iou_sum": jnp.sum(iou_best * is_obj),
+        "cat_sum": jnp.sum(probs * t_cls * is_obj[:, None]),
+        "allcat_sum": jnp.sum(probs * is_obj[:, None]),
+        "obj_sum": jnp.sum(conf_best * is_obj),
+        "anyobj_sum": jnp.sum(confs),
+    }
+    return delta, met
+
+
+def yolo_v1_loss(pred_flat, truths, cfg, *,
+                 hyper: DetectionHyper = DetectionHyper()):
+    """Darknet-exact v1 training loss (forward_detection_layer,
+    src/detection_layer.c:50). pred_flat: (B, S*S*(C+n*5)) raw FC output;
+    truths: (B, T, 5) normalized padded boxes (converted to the dense grid
+    internally). Loss value is sum(delta^2), gradient -delta/batch."""
+    B = pred_flat.shape[0]
+    S, n, C = cfg.grid, cfg.boxes_per_cell, cfg.num_classes
+    grid = build_v1_truth_grid(truths, C, S)
+    fn = functools.partial(_v1_delta, hyper=hyper, side=S, num_boxes=n,
+                           num_classes=C)
+    delta, met = jax.vmap(fn)(pred_flat.astype(jnp.float32), grid)
+    delta = lax.stop_gradient(delta)
+    surrogate = -jnp.sum(delta * pred_flat.astype(jnp.float32)) / B
+    cost = jnp.sum(jnp.square(delta))
+    count = jnp.maximum(jnp.sum(met["count"]), 1.0)
+    metrics = {
+        "cost": cost,
+        "avg_iou": jnp.sum(met["iou_sum"]) / count,
+        "avg_cat": jnp.sum(met["cat_sum"]) / count,
+        "avg_allcat": jnp.sum(met["allcat_sum"]) / (count * C),
+        "avg_obj": jnp.sum(met["obj_sum"]) / count,
+        "avg_anyobj": jnp.sum(met["anyobj_sum"]) / (B * S * S * n),
+        "count": jnp.sum(met["count"]),
+    }
+    loss = surrogate - lax.stop_gradient(surrogate) + lax.stop_gradient(cost)
+    return loss, metrics
 
 
 # --------------------------------------------------------------------------
