@@ -402,3 +402,23 @@ def test_letterbox_unmapping_matches_correct_yolo_boxes(oracle, rng,
                          (rx + rw/2) * w0, (ry + rh/2) * h0])
         want = np.clip(want, 0, [w0, h0, w0, h0])
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-2)
+
+
+@pytest.mark.parametrize("h,w", [(100, 300), (64, 64), (97, 211),
+                                 (500, 333)])
+def test_device_letterbox_matches_c_library(oracle, h, w, rng):
+    """ops/preprocess.letterbox_device vs the compiled letterbox_image
+    itself (src/image.c:960) — settles the float32 edge-rounding semantics
+    definitively, incl. the last-row dy-skip rule."""
+    from yolo_tensorflow_tpu.ops import preprocess as P
+    size = 96
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    canvas_side = 512
+    canvas = np.zeros((canvas_side, canvas_side, 3), np.uint8)
+    canvas[:h, :w] = img
+
+    got = np.asarray(jax.jit(
+        lambda c, hh, ww: P.letterbox_device(c, hh, ww, size))(
+            jnp.asarray(canvas), jnp.int32(h), jnp.int32(w)))
+    want = oracle.letterbox(img, size)
+    np.testing.assert_allclose(got, want, atol=3e-5)

@@ -35,6 +35,11 @@ class DETECTION(ct.Structure):
                 ("objectness", ct.c_float), ("sort_class", ct.c_int)]
 
 
+class IMAGE(ct.Structure):
+    _fields_ = [("w", ct.c_int), ("h", ct.c_int), ("c", ct.c_int),
+                ("data", ct.POINTER(ct.c_float))]
+
+
 def build_oracle() -> str:
     """Compile the reference darknet (CPU-only) into BUILD_DIR; reuse an
     existing build. Returns the path to libdarknet.so or raises."""
@@ -70,6 +75,11 @@ class Oracle:
             ct.c_void_p, ct.c_int, ct.c_int, ct.c_float, ct.c_float,
             ct.POINTER(ct.c_int), ct.c_int, ct.POINTER(ct.c_int)]
         self.lib.free_detections.argtypes = [ct.POINTER(DETECTION), ct.c_int]
+        self.lib.make_image.restype = IMAGE
+        self.lib.make_image.argtypes = [ct.c_int, ct.c_int, ct.c_int]
+        self.lib.letterbox_image.restype = IMAGE
+        self.lib.letterbox_image.argtypes = [IMAGE, ct.c_int, ct.c_int]
+        self.lib.free_image.argtypes = [IMAGE]
 
     def load(self, cfg_path: str, weights_path: str):
         net = self.lib.load_network(cfg_path.encode(), weights_path.encode(), 0)
@@ -88,6 +98,20 @@ class Oracle:
         ptr = self.lib.network_predict(
             net, data.ctypes.data_as(ct.POINTER(ct.c_float)))
         return np.ctypeslib.as_array(ptr, shape=(out_size,)).copy()
+
+    def letterbox(self, image_u8: np.ndarray, out_size: int) -> np.ndarray:
+        """letterbox_image (src/image.c:960) through the C library itself:
+        uint8 HWC RGB -> (S, S, 3) float32 in [0,1] incl. the .5 pad."""
+        h, w = image_u8.shape[:2]
+        im = self.lib.make_image(w, h, 3)
+        chw = self.to_darknet_input(image_u8)
+        ct.memmove(im.data, chw.ctypes.data, chw.nbytes)
+        boxed = self.lib.letterbox_image(im, out_size, out_size)
+        out = np.ctypeslib.as_array(
+            boxed.data, shape=(3, out_size, out_size)).copy()
+        self.lib.free_image(im)
+        self.lib.free_image(boxed)
+        return out.transpose(1, 2, 0)
 
     def boxes(self, net, image_u8: np.ndarray, num_classes: int,
               thresh: float = 0.5, orig_wh=None):

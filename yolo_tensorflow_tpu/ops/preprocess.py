@@ -1,0 +1,115 @@
+"""On-device preprocessing: darknet-exact letterbox fused into the jit.
+
+The reference letterboxes on host (src/image.c:960 letterbox_image calling
+resize_image:1347, an align-corners separable bilinear, embedded into a
+0.5-grey canvas) and the TF graphs stretch-resize in-graph
+(_input_process). Here the aspect-preserving resize+pad runs INSIDE the
+compiled program: the host only memcpy's the raw uint8 image into a fixed
+canvas (no cv2 work on the hot path), and scale/pad are traced scalars so
+one compilation serves every input size. Box un-mapping
+(correct_yolo_boxes, src/yolo_layer.c:247) happens in the same jit.
+
+Semantics matched exactly (gated by tests/test_preprocess.py):
+  - new_w/new_h via integer division ((im.h * w)/im.w etc.)
+  - resize_image's align-corners bilinear incl. its two edge rules
+    (last column copies the source edge; the last row skips the dy term)
+  - pad value 0.5 (darknet fills the normalized canvas with .5 — NOT
+    128/255)
+  - embed offset (w-new_w)/2 with integer division. darknet's own
+    correct_yolo_boxes un-maps with the FLOAT half offset, a 0.5-pixel
+    self-inconsistency when the pad is odd; we invert our true embed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def letterbox_geometry(img_w, img_h, out_size: int):
+    """(new_w, new_h, px, py) per letterbox_image (src/image.c:960-978);
+    img_w/img_h may be traced int32 scalars."""
+    img_w = jnp.asarray(img_w, jnp.int32)
+    img_h = jnp.asarray(img_h, jnp.int32)
+    s = jnp.int32(out_size)
+    wide = img_w > img_h           # (float)S/w < (float)S/h  <=>  w > h
+    new_w = jnp.where(wide, s, (img_w * s) // img_h)
+    new_h = jnp.where(wide, (img_h * s) // img_w, s)
+    return new_w, new_h, (s - new_w) // 2, (s - new_h) // 2
+
+
+def letterbox_device(canvas_u8, img_h, img_w, out_size: int):
+    """One image: (Hc, Wc, 3) uint8 canvas whose top-left [0:h, 0:w] holds
+    the real pixels + traced (h, w) -> (S, S, 3) float32 in [0, 1],
+    bit-matching letterbox_image(resize_image(im)) up to float association.
+
+    Static shapes throughout: the gather grid is (S, S); only the scale and
+    pad offsets are data-dependent.
+    """
+    S = out_size
+    Hc, Wc = canvas_u8.shape[0], canvas_u8.shape[1]
+    x = canvas_u8.astype(jnp.float32) / 255.0
+    h = jnp.asarray(img_h, jnp.int32)
+    w = jnp.asarray(img_w, jnp.int32)
+    new_w, new_h, px, py = letterbox_geometry(w, h, S)
+
+    # resize_image scales; guard the ==1 denominators (C indexes the edge)
+    w_scale = (w - 1).astype(jnp.float32) / jnp.maximum(new_w - 1, 1)
+    h_scale = (h - 1).astype(jnp.float32) / jnp.maximum(new_h - 1, 1)
+
+    rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) - py   # row in resized
+    cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) - px   # col in resized
+    inside = (rr >= 0) & (rr < new_h) & (cc >= 0) & (cc < new_w)
+
+    sx = cc.astype(jnp.float32) * w_scale
+    sy = rr.astype(jnp.float32) * h_scale
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    dx = sx - ix.astype(jnp.float32)
+    dy = sy - iy.astype(jnp.float32)
+
+    # edge rules of resize_image: the last output column copies the source's
+    # last column outright (val = get_pixel(im, im.w-1, ...)); the last
+    # output row keeps its (1-dy) weight but SKIPS the +dy*part[iy+1] term
+    # (image.c:1380 'if(r == h-1 ...) continue') — with float32 rounding of
+    # r*h_scale deciding whether that row lands on iy=h-1 (dy~0, full value)
+    # or iy=h-2 (dy~1, near-zero). We reproduce the same float32 products.
+    last_col = (cc == new_w - 1) | (w == 1)
+    last_row = (rr == new_h - 1) | (h == 1)
+    ix = jnp.where(last_col, w - 1, ix)
+    dx = jnp.where(last_col, 0.0, dx)
+    wbot = jnp.where(last_row, 0.0, dy)
+
+    ix = jnp.clip(ix, 0, Wc - 1)
+    iy = jnp.clip(iy, 0, Hc - 1)
+    ix1 = jnp.clip(ix + 1, 0, Wc - 1)
+    iy1 = jnp.clip(iy + 1, 0, Hc - 1)
+
+    top = (1 - dx)[..., None] * x[iy, ix] + dx[..., None] * x[iy, ix1]
+    bot = (1 - dx)[..., None] * x[iy1, ix] + dx[..., None] * x[iy1, ix1]
+    val = (1 - dy)[..., None] * top + wbot[..., None] * bot
+    return jnp.where(inside[..., None], val, 0.5)
+
+
+def letterbox_device_batch(canvas_u8, sizes, out_size: int):
+    """(B, Hc, Wc, 3) uint8 + (B, 2) int32 [h, w] -> (B, S, S, 3) f32."""
+    return jax.vmap(lambda c, s: letterbox_device(c, s[0], s[1], out_size))(
+        canvas_u8, sizes)
+
+
+def unmap_boxes_device(boxes_xyxy_norm, img_h, img_w, out_size: int):
+    """Normalized network-space xyxy boxes -> original-image pixels, the
+    correct_yolo_boxes inverse (using our integral embed offsets), clipped
+    to the image like the host unletterbox_boxes."""
+    h = jnp.asarray(img_h, jnp.int32)
+    w = jnp.asarray(img_w, jnp.int32)
+    new_w, new_h, px, py = letterbox_geometry(w, h, out_size)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    bx = boxes_xyxy_norm * out_size
+    x0 = (bx[..., 0] - px) * wf / new_w.astype(jnp.float32)
+    y0 = (bx[..., 1] - py) * hf / new_h.astype(jnp.float32)
+    x1 = (bx[..., 2] - px) * wf / new_w.astype(jnp.float32)
+    y1 = (bx[..., 3] - py) * hf / new_h.astype(jnp.float32)
+    return jnp.stack([jnp.clip(x0, 0, wf), jnp.clip(y0, 0, hf),
+                      jnp.clip(x1, 0, wf), jnp.clip(y1, 0, hf)], -1)

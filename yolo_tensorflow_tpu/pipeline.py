@@ -77,6 +77,53 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
     return forward
 
 
+def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
+                           compute_dtype=None, num_candidates: int = 256,
+                           max_detections: Optional[int] = None,
+                           conf_threshold: Optional[float] = None,
+                           iou_threshold: Optional[float] = None,
+                           class_aware_nms: Optional[bool] = None):
+    """Forward with the letterbox FUSED into the jit (BASELINE.md north
+    star): (params, canvas (B,Hc,Hc,3) uint8, sizes (B,2) int32 [h,w]) ->
+    Detections whose boxes are in ORIGINAL-image pixels. The host does no
+    resize at all — only a memcpy of raw pixels into the canvas; the
+    darknet-exact letterbox (ops/preprocess.py) and the box un-mapping
+    (correct_yolo_boxes equivalent) run on device with traced scalars, so
+    one compilation serves every input size up to the canvas."""
+    from yolo_tensorflow_tpu.ops import preprocess as P
+    max_det = cfg.max_detections if max_detections is None else max_detections
+    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
+    iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
+    class_aware = (cfg.class_aware_nms if class_aware_nms is None
+                   else class_aware_nms)
+    S = cfg.input_size
+
+    def forward(params, canvas_uint8, sizes):
+        x = P.letterbox_device_batch(canvas_uint8, sizes, S)
+        # letterbox output is already x/255; rescale for the per-model
+        # normalization contract (normalize_images)
+        if cfg.normalization == "symmetric":
+            x = x * 2.0 - 1.0
+        elif cfg.input_scale != 255.0:
+            x = x * (255.0 / cfg.input_scale)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
+                               compute_dtype=compute_dtype)
+        boxes_xywh, conf, probs = heads.decode(dets, cfg)
+        boxes = heads.xywh_to_xyxy(boxes_xywh)
+        out = NMS.batched_nms(
+            boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
+            max_detections=max_det, num_candidates=num_candidates,
+            class_aware=class_aware)
+        boxes_px = jax.vmap(
+            lambda b, s: P.unmap_boxes_device(b, s[0], s[1], S))(
+                out.boxes, sizes)
+        return out._replace(boxes=boxes_px)
+
+    return forward
+
+
 class Detector:
     """Load a model + weights once, detect many times.
 
@@ -88,12 +135,17 @@ class Detector:
 
     def __init__(self, model: str, weights_path: Optional[str] = None, *,
                  params=None, compute_dtype=None, donate: bool = False,
-                 letterbox: bool = False, mesh=None, **overrides):
+                 letterbox: bool = False, fused: bool = False, mesh=None,
+                 **overrides):
         # letterbox=True: aspect-preserving pad-resize + box un-mapping,
         # darknet's test path (src/image.c:960 letterbox_image +
         # correct_yolo_boxes); False: stretch resize like the reference TF
-        # graphs' _input_process.
+        # graphs' _input_process. fused=True (with letterbox): the resize/
+        # pad/un-map run inside the jit (make_forward_letterbox) — the host
+        # only memcpy's pixels into a canvas, compiled once per canvas
+        # bucket (256-px granularity).
         self.letterbox = letterbox
+        self.fused = fused and letterbox
         nms_keys = {"num_candidates", "max_detections", "conf_threshold",
                     "iou_threshold", "class_aware_nms", "fused_decode"}
         nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
@@ -119,6 +171,13 @@ class Detector:
             jax.tree.map(jnp.asarray, params))
         fwd = make_forward(self.cfg, self.specs,
                            compute_dtype=compute_dtype, **nms_kwargs)
+        if self.fused:
+            nms_kwargs.pop("fused_decode", None)
+            # jit caches one executable per canvas shape; detect() rounds
+            # canvases up to 256-px buckets to bound recompiles
+            self._jit_fused = jax.jit(make_forward_letterbox(
+                self.cfg, self.specs, compute_dtype=compute_dtype,
+                **nms_kwargs))
         self.mesh = mesh
         if mesh is not None:
             # scale-out batched serving: params replicated, images sharded
@@ -140,6 +199,8 @@ class Detector:
         host-side ratio->pixel conversion, YOLO_V1_Inference.py:386-391)."""
         h, w = image.shape[:2]
         s = self.cfg.input_size
+        if self.fused:
+            return self._detect_fused(image)
         if self.letterbox:
             from yolo_tensorflow_tpu.data.augment import (letterbox,
                                                           unletterbox_boxes)
@@ -167,6 +228,32 @@ class Detector:
                 "box": (float(x0), float(y0), float(x1), float(y1)),
             })
         return out
+
+    def _detect_fused(self, image: np.ndarray):
+        """Fused letterbox path: memcpy into a bucketed canvas, everything
+        else (resize, pad, normalize, backbone, decode, NMS, box un-map)
+        inside one compiled program. Boxes come back in original pixels."""
+        h, w = image.shape[:2]
+        canvas_side = max(((max(h, w, self.cfg.input_size) + 255) // 256)
+                          * 256, 256)
+        canvas = np.zeros((1, canvas_side, canvas_side, 3), np.uint8)
+        canvas[0, :h, :w] = image
+        sizes = np.asarray([[h, w]], np.int32)
+        dets = jax.tree.map(np.asarray,
+                            self._jit_fused(self.params, canvas, sizes))
+        n = int(dets.num[0])
+        return [{
+            "class_id": int(dets.classes[0, i]),
+            "class": self.cfg.classes[int(dets.classes[0, i])],
+            "score": float(dets.scores[0, i]),
+            "box": tuple(float(v) for v in dets.boxes[0, i]),
+        } for i in range(n)]
+
+    def detect_batch_fused(self, canvas_uint8, sizes) -> NMS.Detections:
+        """Batched fused letterbox serving: (B, Hc, Hc, 3) uint8 canvases +
+        (B, 2) int32 [h, w]. Boxes in each image's original pixels."""
+        return self._jit_fused(self.params, canvas_uint8,
+                               np.asarray(sizes, np.int32))
 
     # -- batched ------------------------------------------------------------
     def detect_batch(self, images_uint8) -> NMS.Detections:
