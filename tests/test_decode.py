@@ -2,6 +2,7 @@
 v1 YOLO_V1_Inference.py:213-270, v2 decode.py:13-48,
 v3 YOLOV3.py:168-238 (_ratio_detection_layer)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -115,3 +116,105 @@ def test_xywh_to_xyxy():
     b = jnp.asarray([[[0.5, 0.5, 0.2, 0.4]]])
     out = np.asarray(heads.xywh_to_xyxy(b))
     np.testing.assert_allclose(out, [[[0.4, 0.3, 0.6, 0.7]]], atol=1e-7)
+
+
+# --------------------------------------------------------------------------
+# v2 flip-TTA (get_region_detections batch==2 path, region_layer.c:368-390)
+# --------------------------------------------------------------------------
+
+def _avg_flipped_region_np(out_flat, flip_flat, H, W, A, E):
+    """Literal transcription of the C averaging loop on darknet-ordered
+    flat activated buffers ([anchor][entry][h][w]), incl. its z==0-under-
+    [entry][anchor]-indexing negation quirk."""
+    flip = flip_flat.copy()
+    for j in range(H):
+        for i in range(W // 2):
+            for n in range(A):
+                for z in range(E):
+                    i1 = z * W * H * A + n * W * H + j * W + i
+                    i2 = z * W * H * A + n * W * H + j * W + (W - i - 1)
+                    flip[i1], flip[i2] = flip[i2], flip[i1]
+                    if z == 0:
+                        flip[i1] = -flip[i1]
+                        flip[i2] = -flip[i2]
+    return (out_flat + flip) / 2.0
+
+
+def _to_darknet_flat(act_nhwc, A, E):
+    """(H, W, A*E) NHWC cell-anchor-major -> darknet [anchor][entry][hw]."""
+    H, W, _ = act_nhwc.shape
+    return act_nhwc.reshape(H, W, A, E).transpose(2, 3, 0, 1).reshape(-1)
+
+
+def test_region_flip_tta_matches_c_transcription(rng):
+    from yolo_tensorflow_tpu.models.heads import activate_v2, region_flip_tta
+    cfg = C.get_config("yolov2-tiny-voc")
+    H = W = 4
+    A, Cn = cfg.num_anchors, cfg.num_classes
+    E = 5 + Cn
+    raw = rng.standard_normal((1, H, W, A * E), dtype=np.float32)
+    raw_f = rng.standard_normal((1, H, W, A * E), dtype=np.float32)
+
+    act = activate_v2(jnp.asarray(raw), cfg)
+    act_f = activate_v2(jnp.asarray(raw_f), cfg)
+    got = np.asarray(region_flip_tta(act, act_f, cfg, mode="darknet"))[0]
+
+    want_flat = _avg_flipped_region_np(
+        _to_darknet_flat(np.asarray(act)[0], A, E),
+        _to_darknet_flat(np.asarray(act_f)[0], A, E), H, W, A, E)
+    want = want_flat.reshape(A, E, H, W).transpose(2, 3, 0, 1).reshape(
+        H, W, A * E)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_region_flip_tta_corrected_mode(rng):
+    """corrected mode: every anchor's x becomes the reflected cell offset
+    1-sigmoid(tx) of the mirrored column; nothing is negated."""
+    from yolo_tensorflow_tpu.models.heads import activate_v2, region_flip_tta
+    cfg = C.get_config("yolov2-tiny-voc")
+    H = W = 4
+    A, Cn = cfg.num_anchors, cfg.num_classes
+    raw = rng.standard_normal((1, H, W, A * (5 + Cn)), dtype=np.float32)
+    act = np.asarray(activate_v2(jnp.asarray(raw), cfg))
+    got = np.asarray(region_flip_tta(
+        jnp.asarray(act), jnp.asarray(act), cfg, mode="corrected"))[0]
+    a = act[0].reshape(H, W, A, 5 + Cn)
+    g = got.reshape(H, W, A, 5 + Cn)
+    np.testing.assert_allclose(
+        g[..., 0], (a[..., 0] + (1.0 - a[:, ::-1, :, 0])) / 2, rtol=1e-6)
+    np.testing.assert_allclose(g[..., 4], (a[..., 4] + a[:, ::-1, :, 4]) / 2,
+                               rtol=1e-6)
+
+
+def test_tta_detector_end_to_end():
+    """Detector(tta=True) runs the doubled-batch path; on the deterministic
+    bias-only model (spatially uniform outputs) the corrected-mode TTA
+    average reproduces the single-pass detections exactly for every entry
+    except x, whose average of offset and mirrored offset is 0.5."""
+    from yolo_tensorflow_tpu.models import engine as E
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    specs = C.build_specs(cfg)
+    params, _ = E.init_params(specs, (1, 64, 64, 3), jax.random.PRNGKey(0),
+                              folded=True)
+    params = jax.tree.map(lambda a: np.zeros_like(a), params)
+    head = sorted(params)[-1]
+    bias = np.zeros_like(params[head]["b"])
+    bias[4] = 4.0
+    bias[5 + 7] = 6.0
+    params[head]["b"] = bias
+    from yolo_tensorflow_tpu.pipeline import Detector
+    det = Detector(cfg, params=params, specs=specs, num_candidates=32,
+                   max_detections=5, tta=True, tta_mode="corrected")
+    res = det.detect(np.full((64, 64, 3), 100, np.uint8))
+    assert res and all(r["class_id"] == 7 for r in res)
+    import math
+    exp = 1 / (1 + math.exp(-4.0)) * (math.exp(6.0) / (math.exp(6.0) + 19))
+    assert all(abs(r["score"] - exp) < 1e-3 for r in res)
+    # uniform outputs: sigmoid(0)=0.5 offset and its mirror average to 0.5
+    # -> box centers sit exactly at cell centers, same as non-TTA
+    det0 = Detector(cfg, params=params, specs=specs, num_candidates=32,
+                    max_detections=5)
+    res0 = det0.detect(np.full((64, 64, 3), 100, np.uint8))
+    got = sorted(tuple(round(v, 3) for v in r["box"]) for r in res)
+    want = sorted(tuple(round(v, 3) for v in r["box"]) for r in res0)
+    assert got == want

@@ -147,11 +147,17 @@ def cmd_eval(args):
         samples = load_darknet_list(args.list)
     if args.limit:
         samples = samples[:args.limit]
-    dets, gts = [], []
+    dets, gts, per_image = [], [], []
     for s in samples:
         img = cv2.cvtColor(cv2.imread(s.image_path), cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
         res = det.detect(img)
+        if args.write_results:
+            from yolo_tensorflow_tpu.eval.map import coco_image_id
+            stem = os.path.splitext(os.path.basename(s.image_path))[0]
+            image_id = coco_image_id(s.image_path) if args.coco_results \
+                else stem
+            per_image.append((image_id, w, h, res))
         dets.append({
             "boxes": np.asarray([r["box"] for r in res], np.float32).reshape(-1, 4),
             "scores": np.asarray([r["score"] for r in res], np.float32),
@@ -168,6 +174,15 @@ def cmd_eval(args):
             np.zeros((0,), np.int32),
         })
     n_cls = det.cfg.num_classes
+    if args.write_results:
+        from yolo_tensorflow_tpu.eval.map import (write_coco_results,
+                                                  write_voc_results)
+        if args.coco_results:
+            path = os.path.join(args.write_results, "coco_results.json")
+            os.makedirs(args.write_results, exist_ok=True)
+            write_coco_results(path, per_image)
+        else:
+            write_voc_results(args.write_results, det.cfg.classes, per_image)
     if args.coco_metric:
         out = coco_map(dets, gts, n_cls)
     else:
@@ -264,10 +279,52 @@ def cmd_inspect(args):
 def cmd_stream(args):
     from yolo_tensorflow_tpu.serving import stream_detect
     det = _build_detector(args)
+    on_batch = None
+    if args.save_dir or args.display:
+        # src/demo.c:185 behavior: draw detections (+FPS overlay) on each
+        # frame and display/save it
+        import cv2
+        import numpy as _np
+        import time as _time
+        from yolo_tensorflow_tpu.utils.drawing import draw_detections
+        if args.save_dir:
+            os.makedirs(args.save_dir, exist_ok=True)
+        state = {"n": 0, "t": _time.perf_counter()}
+
+        def on_batch(dets, images):
+            boxes = _np.asarray(dets.boxes)
+            scores = _np.asarray(dets.scores)
+            classes = _np.asarray(dets.classes)
+            nums = _np.asarray(dets.num)
+            now = _time.perf_counter()
+            fps = images.shape[0] / max(now - state["t"], 1e-6)
+            state["t"] = now
+            s = images.shape[1]
+            for b in range(images.shape[0]):
+                frame = cv2.cvtColor(images[b], cv2.COLOR_RGB2BGR)
+                results = [{
+                    "class_id": int(classes[b, i]),
+                    "class": det.cfg.classes[int(classes[b, i])],
+                    "score": float(scores[b, i]),
+                    "box": tuple(float(v) * s for v in boxes[b, i]),
+                } for i in range(int(nums[b]))]
+                draw_detections(frame, results,
+                                num_classes=det.cfg.num_classes)
+                cv2.putText(frame, f"FPS {fps:.1f}", (8, 22),
+                            cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 255, 255), 2)
+                if args.save_dir:
+                    cv2.imwrite(os.path.join(
+                        args.save_dir, f"frame_{state['n']:06d}.jpg"), frame)
+                if args.display:
+                    cv2.imshow("yolo_tensorflow_tpu", frame)
+                    cv2.waitKey(1)
+                state["n"] += 1
+
     frames, dt, fps = stream_detect(det, args.source,
                                     batch_size=args.batch,
                                     loops=args.loops,
-                                    max_batches=args.max_batches)
+                                    max_batches=args.max_batches,
+                                    on_batch=on_batch)
     print(f"{frames} frames in {dt:.2f}s -> {fps:.1f} FPS "
           f"(batch {args.batch})")
 
@@ -406,6 +463,14 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--coco-metric", action="store_true")
     p.add_argument("--eleven-point", action="store_true")
+    p.add_argument("--write-results", default=None, metavar="DIR",
+                   help="emit interchange files for external scorers "
+                        "(VOC comp4_det_test_<class>.txt per class, or "
+                        "coco_results.json with --coco-results) — the "
+                        "validate_detector output formats")
+    p.add_argument("--coco-results", action="store_true",
+                   help="with --write-results: COCO results-json instead "
+                        "of VOC per-class files")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model")
@@ -452,6 +517,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--loops", type=int, default=1)
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--save-dir", default=None,
+                   help="write annotated frames here (demo.c drawing)")
+    p.add_argument("--display", action="store_true",
+                   help="show annotated frames in a window (needs a GUI)")
     p.set_defaults(fn=cmd_stream)
 
     p = sub.add_parser("quantize", help="post-training int8 quantization")

@@ -59,43 +59,64 @@ def evaluate_detections(
     aps = np.zeros((len(iou_thresholds), num_classes), np.float64)
     valid = np.zeros(num_classes, bool)
 
+    # Pre-split every image's detections/gts by class ONCE and cache the
+    # per-(image, class) IoU matrix across all thresholds — the matching
+    # below never touches a box again. Greedy matching is per-image state,
+    # so it runs per image (in within-image score order) and the global
+    # score ordering is applied to the tp/fp flags afterwards; this is
+    # equivalent to the global greedy walk because matches never interact
+    # across images.
+    det_np = [(np.asarray(d["boxes"], np.float32),
+               np.asarray(d["scores"], np.float32),
+               np.asarray(d["classes"])) for d in detections]
+    gt_np = [(np.asarray(g["boxes"], np.float32),
+              np.asarray(g["classes"])) for g in groundtruth]
+
     for c in range(num_classes):
-        rows = []  # (score, image_idx, det_idx)
         n_gt = 0
-        gt_boxes_per_img = []
-        for i, gt in enumerate(groundtruth):
-            m = np.asarray(gt["classes"]) == c
-            gt_boxes_per_img.append(np.asarray(gt["boxes"], np.float32)[m])
-            n_gt += int(m.sum())
-        for i, det in enumerate(detections):
-            m = np.asarray(det["classes"]) == c
-            for s, bidx in zip(np.asarray(det["scores"])[m],
-                               np.where(m)[0]):
-                rows.append((float(s), i, int(bidx)))
+        entries = []   # (scores_sorted, best_iou, best_j, n_gts) per image
+        for i in range(len(det_np)):
+            dboxes, dscores, dcls = det_np[i]
+            gboxes, gcls = gt_np[i]
+            gsel = gboxes[gcls == c] if len(gcls) else gboxes[:0]
+            n_gt += len(gsel)
+            dm = dcls == c
+            if not dm.any():
+                continue
+            sc = dscores[dm]
+            order = np.argsort(-sc, kind="stable")
+            sc = sc[order]
+            if len(gsel):
+                ious = box_iou_xyxy(dboxes[dm][order], gsel)
+                best_j = ious.argmax(axis=1)
+                best_iou = ious[np.arange(len(sc)), best_j]
+            else:
+                best_j = np.zeros(len(sc), np.int32)
+                best_iou = np.full(len(sc), -1.0, np.float32)
+            entries.append((sc, best_iou, best_j, len(gsel)))
         if n_gt == 0:
             continue
         valid[c] = True
-        rows.sort(key=lambda r: -r[0])
+        if not entries:
+            continue
+        all_scores = np.concatenate([e[0] for e in entries])
+        global_order = np.argsort(-all_scores, kind="stable")
 
         for ti, thr in enumerate(iou_thresholds):
-            matched = [np.zeros(len(g), bool) for g in gt_boxes_per_img]
-            tp = np.zeros(len(rows))
-            fp = np.zeros(len(rows))
-            for k, (s, i, bidx) in enumerate(rows):
-                box = np.asarray(detections[i]["boxes"],
-                                 np.float32)[bidx:bidx + 1]
-                gts = gt_boxes_per_img[i]
-                if len(gts) == 0:
-                    fp[k] = 1
-                    continue
-                ious = box_iou_xyxy(box, gts)[0]
-                j = int(np.argmax(ious))
-                if ious[j] >= thr and not matched[i][j]:
-                    tp[k] = 1
-                    matched[i][j] = True
-                else:
-                    fp[k] = 1
-            ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+            tps = []
+            for sc, best_iou, best_j, g in entries:
+                tp = np.zeros(len(sc), bool)
+                if g:
+                    taken = np.zeros(g, bool)
+                    for k in range(len(sc)):
+                        j = best_j[k]
+                        if best_iou[k] >= thr and not taken[j]:
+                            tp[k] = True
+                            taken[j] = True
+                tps.append(tp)
+            tp = np.concatenate(tps)[global_order]
+            ctp = np.cumsum(tp)
+            cfp = np.cumsum(~tp)
             recall = ctp / n_gt
             precision = ctp / np.maximum(ctp + cfp, 1e-9)
             aps[ti, c] = average_precision(recall, precision,
@@ -117,3 +138,82 @@ def coco_map(detections, groundtruth, num_classes) -> Dict:
     thrs = np.round(np.arange(0.5, 1.0, 0.05), 2)
     return evaluate_detections(detections, groundtruth, num_classes,
                                iou_thresholds=thrs, eleven_point=False)
+
+
+# --------------------------------------------------------------------------
+# Interchange result files for external scorers — what validate_detector
+# emits (examples/detector.c:364: print_detector_detections for VOC,
+# print_cocos for COCO-json), so results diff against darknet's.
+# --------------------------------------------------------------------------
+
+# darknet's 80->91 COCO category remap (examples/detector.c:3 coco_ids[])
+COCO_IDS = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
+            20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38,
+            39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
+            56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75,
+            76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90)
+
+
+def write_voc_results(out_dir: str, class_names, per_image, *,
+                      prefix: str = "comp4_det_test_") -> None:
+    """VOC per-class files (print_detector_detections,
+    examples/detector.c:191): one '<id> <score> <xmin> <ymin> <xmax> <ymax>'
+    line per detection, 1-based coords clipped to [1, w/h].
+
+    per_image: iterable of (image_id, width, height, results) where results
+    is the Detector.detect list-of-dicts (pixel xyxy boxes)."""
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    files = {c: open(os.path.join(out_dir, f"{prefix}{name}.txt"), "w")
+             for c, name in enumerate(class_names)}
+    try:
+        for image_id, w, h, results in per_image:
+            for r in results:
+                x0, y0, x1, y1 = r["box"]
+                xmin = max(x0 + 1, 1)
+                ymin = max(y0 + 1, 1)
+                xmax = min(x1 + 1, w)
+                ymax = min(y1 + 1, h)
+                files[r["class_id"]].write(
+                    f"{image_id} {r['score']:f} {xmin:f} {ymin:f} "
+                    f"{xmax:f} {ymax:f}\n")
+    finally:
+        for f in files.values():
+            f.close()
+
+
+def write_coco_results(out_path: str, per_image, *,
+                       category_ids=COCO_IDS) -> None:
+    """COCO results json (print_cocos, examples/detector.c:165): a list of
+    {image_id, category_id, bbox [x, y, w, h], score} records, boxes clipped
+    to the image. per_image: iterable of (image_id, width, height, results);
+    image_id must already be the numeric COCO id (get_coco_image_id)."""
+    import json
+    records = []
+    for image_id, w, h, results in per_image:
+        for r in results:
+            x0, y0, x1, y1 = r["box"]
+            x0 = max(x0, 0.0)
+            y0 = max(y0, 0.0)
+            x1 = min(x1, w)
+            y1 = min(y1, h)
+            records.append({
+                "image_id": int(image_id),
+                "category_id": int(category_ids[r["class_id"]])
+                if category_ids else int(r["class_id"]),
+                "bbox": [round(x0, 3), round(y0, 3),
+                         round(x1 - x0, 3), round(y1 - y0, 3)],
+                "score": round(float(r["score"]), 6),
+            })
+    with open(out_path, "w") as f:
+        json.dump(records, f)
+
+
+def coco_image_id(path: str) -> int:
+    """get_coco_image_id (examples/detector.c:157): numeric tail of the
+    file name after the last '_' (or '/')."""
+    import os
+    base = os.path.splitext(os.path.basename(path))[0]
+    tail = base.rsplit("_", 1)[-1]
+    digits = "".join(ch for ch in tail if ch.isdigit())
+    return int(digits) if digits else 0

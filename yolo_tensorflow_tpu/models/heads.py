@@ -78,6 +78,78 @@ def decode_v2(feat, cfg: ModelConfig):
             class_probs.reshape(batch, n, C))
 
 
+def activate_v2(feat, cfg: ModelConfig):
+    """Region-layer activation (forward_region_layer, region_layer.c:163):
+    sigmoid xy/obj, per-anchor softmax classes, raw wh. (B,H,W,A*(5+C)) ->
+    same shape, activated — the l.output buffer get_region_detections
+    reads."""
+    A, C = cfg.num_anchors, cfg.num_classes
+    B, H, W, _ = feat.shape
+    det = feat.astype(jnp.float32).reshape(B, H, W, A, 5 + C)
+    out = jnp.concatenate([
+        jax.nn.sigmoid(det[..., 0:2]), det[..., 2:4],
+        jax.nn.sigmoid(det[..., 4:5]),
+        jax.nn.softmax(det[..., 5:], axis=-1)], -1)
+    return out.reshape(B, H, W, A * (5 + C))
+
+
+def region_flip_tta(act, act_flipped, cfg: ModelConfig,
+                    mode: str = "darknet"):
+    """Average an activated region output with the activated output of the
+    horizontally flipped image — get_region_detections' batch==2 path
+    (src/region_layer.c:368-390).
+
+    mode='darknet' is the literal C loop, including BOTH of its quirks:
+    (1) it negates "z==0" under a [entry][anchor][hw] indexing while the
+    layer buffer is laid out [anchor][entry][hw] (entry_index,
+    region_layer.c:151) — so the planes actually negated are anchor 0's
+    first A entries (x,y,w,h,obj for the 5-anchor v2 models), not every
+    anchor's x; (2) the negation runs on the ALREADY-ACTIVATED sigmoid
+    values. mode='corrected' mirrors properly: every anchor's x becomes
+    1-sigmoid(tx) (the reflected cell offset) and nothing else is negated.
+
+    Both inputs/outputs are (B, H, W, A*(5+C)) activated tensors.
+    """
+    A, C = cfg.num_anchors, cfg.num_classes
+    B, H, W, _ = act.shape
+    E = 5 + C
+    flip = act_flipped.reshape(B, H, W, A, E)[:, :, ::-1]   # column swap
+    if mode == "darknet":
+        # negate true-layout planes p = a*E + e with p < A (the C's z==0)
+        plane = (jax.lax.broadcasted_iota(jnp.int32, (A, E), 0) * E
+                 + jax.lax.broadcasted_iota(jnp.int32, (A, E), 1))
+        flip = jnp.where(plane < A, -flip, flip)
+    elif mode == "corrected":
+        flip = flip.at[..., 0].set(1.0 - flip[..., 0])
+    else:
+        raise ValueError(mode)
+    avg = (act.reshape(B, H, W, A, E) + flip) / 2.0
+    return avg.reshape(B, H, W, A * E)
+
+
+def decode_v2_activated(act, cfg: ModelConfig):
+    """decode_v2 for an ALREADY-ACTIVATED (possibly TTA-averaged) region
+    output — the get_region_box math without re-activating."""
+    A, C = cfg.num_anchors, cfg.num_classes
+    batch, H, W, _ = act.shape
+    det = act.astype(jnp.float32).reshape(batch, H * W, A, 5 + C)
+    xy = det[..., 0:2]
+    wh = jnp.exp(det[..., 2:4])
+    conf = det[..., 4]
+    class_probs = det[..., 5:]
+    col = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(1, H * W, 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(1, H * W, 1)
+    anchors = jnp.asarray(cfg.anchors, jnp.float32)
+    bx = (col + xy[..., 0]) / W
+    by = (row + xy[..., 1]) / H
+    bw = anchors[:, 0] * wh[..., 0] / W
+    bh = anchors[:, 1] * wh[..., 1] / H
+    boxes_xywh = jnp.stack([bx, by, bw, bh], axis=-1)
+    n = H * W * A
+    return (boxes_xywh.reshape(batch, n, 4), conf.reshape(batch, n),
+            class_probs.reshape(batch, n, C))
+
+
 def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int):
     """One FPN scale (YOLOV3.py:168-238): feat (B, G, G, A*(5+C)).
 

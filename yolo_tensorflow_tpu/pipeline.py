@@ -38,7 +38,8 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
                  conf_threshold: Optional[float] = None,
                  iou_threshold: Optional[float] = None,
                  class_aware_nms: Optional[bool] = None,
-                 fused_decode: Optional[bool] = None):
+                 fused_decode: Optional[bool] = None,
+                 tta: bool = False, tta_mode: str = "darknet"):
     """Build the pure forward fn: (params, uint8 images) -> Detections.
 
     fused_decode: use the Pallas decode+score kernel
@@ -55,9 +56,31 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
     if fused_decode is None:
         fused_decode = False
 
+    if tta and cfg.head != 2:
+        raise ValueError("flip-TTA is a region-layer (v2) capability "
+                         "(get_region_detections, region_layer.c:368)")
+
     def forward(params, images_uint8):
         x = normalize_images(images_uint8, cfg,
                              compute_dtype or jnp.float32)
+        if tta:
+            # flip-TTA (get_region_detections batch==2 averaging): run the
+            # image and its mirror through one doubled batch, average the
+            # activated region outputs, decode once
+            B = x.shape[0]
+            x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+            dets2, _ = engine.apply(specs, params, x2, bn_eps=cfg.bn_eps,
+                                    compute_dtype=compute_dtype)
+            (feat2, _), = dets2
+            act = heads.activate_v2(feat2, cfg)
+            avg = heads.region_flip_tta(act[:B], act[B:], cfg,
+                                        mode=tta_mode)
+            boxes_xywh, conf, probs = heads.decode_v2_activated(avg, cfg)
+            boxes = heads.xywh_to_xyxy(boxes_xywh)
+            return NMS.batched_nms(
+                boxes, conf, probs, conf_threshold=conf_t,
+                iou_threshold=iou_t, max_detections=max_det,
+                num_candidates=num_candidates, class_aware=class_aware)
         dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
                                compute_dtype=compute_dtype)
         if fused_decode:
@@ -147,7 +170,8 @@ class Detector:
         self.letterbox = letterbox
         self.fused = fused and letterbox
         nms_keys = {"num_candidates", "max_detections", "conf_threshold",
-                    "iou_threshold", "class_aware_nms", "fused_decode"}
+                    "iou_threshold", "class_aware_nms", "fused_decode",
+                    "tta", "tta_mode"}
         nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
                       if k in nms_keys}
         specs = overrides.pop("specs", None)
@@ -173,6 +197,10 @@ class Detector:
                            compute_dtype=compute_dtype, **nms_kwargs)
         if self.fused:
             nms_kwargs.pop("fused_decode", None)
+            if nms_kwargs.pop("tta", False):
+                raise ValueError("tta=True is not supported with the fused "
+                                 "letterbox path yet; use fused=False")
+            nms_kwargs.pop("tta_mode", None)
             # jit caches one executable per canvas shape; detect() rounds
             # canvases up to 256-px buckets to bound recompiles
             self._jit_fused = jax.jit(make_forward_letterbox(
