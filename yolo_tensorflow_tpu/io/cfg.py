@@ -95,6 +95,38 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
         elif isinstance(spec, S.Dropout):
             out.append("[dropout]")
             out.append(f"probability={spec.rate}")
+        elif isinstance(spec, S.Local):
+            out.append("[local]")
+            out.append(f"filters={spec.filters}")
+            out.append(f"size={spec.size}")
+            out.append(f"stride={spec.stride}")
+            out.append(f"pad={spec.pad}")
+            out.append(f"activation={spec.act}")
+        elif isinstance(spec, S.Deconv):
+            out.append("[deconvolutional]")
+            if spec.bn:
+                out.append("batch_normalize=1")
+            out.append(f"filters={spec.filters}")
+            out.append(f"size={spec.size}")
+            out.append(f"stride={spec.stride}")
+            out.append(f"padding={spec.pad}")
+            out.append(f"activation={spec.act}")
+        elif isinstance(spec, S.Crop):
+            out.append("[crop]")
+            out.append(f"crop_height={spec.crop_height}")
+            out.append(f"crop_width={spec.crop_width}")
+            out.append(f"flip={int(spec.flip)}")
+            out.append(f"noadjust={int(spec.noadjust)}")
+        elif isinstance(spec, S.LRN):
+            out.append("[normalization]")
+            out.append(f"size={spec.size}")
+            out.append(f"alpha={spec.alpha:g}")
+            out.append(f"beta={spec.beta:g}")
+            out.append(f"kappa={spec.kappa:g}")
+        elif isinstance(spec, S.L2Norm):
+            out.append("[l2norm]")
+        elif isinstance(spec, S.Logistic):
+            out.append("[logistic]")
         elif isinstance(spec, S.GlobalAvgPool):
             out.append("[avgpool]")
         elif isinstance(spec, S.Softmax):
@@ -194,10 +226,10 @@ def parse_cfg(text: str):
         dk_idx = len(dk_to_spec)
         if name == "convolutional":
             act = opt.get("activation", "logistic")  # darknet default
-            if act not in ("leaky", "linear", "logistic"):
+            if act not in ("leaky", "linear", "logistic", "relu"):
                 raise ValueError(
                     f"unsupported conv activation {act!r} (supported: "
-                    "leaky, linear, logistic)")
+                    "leaky, linear, logistic, relu)")
             size = geti(opt, "size", 1)
             # darknet pad semantics (parser.c:133-135): padding=N explicit;
             # pad=1 means size//2; default is NO padding
@@ -252,6 +284,40 @@ def parse_cfg(text: str):
             idx = b.add(S.GlobalAvgPool())
         elif name == "softmax":
             idx = b.add(S.Softmax())
+        elif name == "local":
+            # parse_local (parser.c:130): pad is the raw pixel amount
+            idx = b.add(S.Local(geti(opt, "filters", 1),
+                                geti(opt, "size", 1),
+                                geti(opt, "stride", 1),
+                                geti(opt, "pad", 0),
+                                act=opt.get("activation", "logistic")))
+        elif name == "deconvolutional":
+            # parse_deconvolutional (parser.c:151): pad=1 -> size//2
+            size = geti(opt, "size", 1)
+            if "padding" in opt and "pad" not in opt:
+                pad = geti(opt, "padding", 0)
+            elif geti(opt, "pad", 0):
+                pad = size // 2
+            else:
+                pad = 0
+            idx = b.add(S.Deconv(geti(opt, "filters", 1), size,
+                                 geti(opt, "stride", 1), pad,
+                                 bn=geti(opt, "batch_normalize", 0) == 1,
+                                 act=opt.get("activation", "logistic")))
+        elif name == "crop":
+            idx = b.add(S.Crop(geti(opt, "crop_height", 1),
+                               geti(opt, "crop_width", 1),
+                               flip=geti(opt, "flip", 0) == 1,
+                               noadjust=geti(opt, "noadjust", 0) == 1))
+        elif name == "normalization":
+            idx = b.add(S.LRN(geti(opt, "size", 5),
+                              getf(opt, "alpha", 1e-4),
+                              getf(opt, "beta", 0.75),
+                              getf(opt, "kappa", 1.0)))
+        elif name == "l2norm":
+            idx = b.add(S.L2Norm())
+        elif name == "logistic":
+            idx = b.add(S.Logistic())
         elif name == "cost":
             continue  # train-time only; not a runtime layer in darknet either
         else:

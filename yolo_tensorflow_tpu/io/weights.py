@@ -142,6 +142,46 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
             w = flat.reshape(units, fan_in).T  # -> (In, Out)
             params[layer_key(i)] = {
                 "w": np.ascontiguousarray(w, np.float32), "b": bias.copy()}
+        elif isinstance(spec, S.Local):
+            # parser.c:1315: biases[outputs] then weights[ssc*n*locations];
+            # biases in (n, L) planar output order, weights (L, n, ssc)
+            _, oh, ow, _ = shapes[i]
+            Lx, n, ssc = oh * ow, spec.filters, \
+                spec.size * spec.size * prev[3]
+            bias, ptr = _take(buf, ptr, n * Lx)
+            flat, ptr = _take(buf, ptr, Lx * n * ssc)
+            params[layer_key(i)] = {
+                "w": np.ascontiguousarray(flat.reshape(Lx, n, ssc),
+                                          np.float32),
+                "b": np.ascontiguousarray(bias.reshape(n, Lx).T,
+                                          np.float32)}
+        elif isinstance(spec, S.Deconv):
+            # load_convolutional_weights order, weights (in_c,out_c,kh,kw)
+            cin, cout, k = prev[3], spec.filters, spec.size
+            if spec.bn:
+                beta, ptr = _take(buf, ptr, cout)
+                gamma, ptr = _take(buf, ptr, cout)
+                mean, ptr = _take(buf, ptr, cout)
+                var, ptr = _take(buf, ptr, cout)
+            else:
+                bias, ptr = _take(buf, ptr, cout)
+            flat, ptr = _take(buf, ptr, cin * cout * k * k)
+            w = flat.reshape(cin, cout, k, k).transpose(2, 3, 0, 1)  # HWIO
+            if spec.bn:
+                if fold:
+                    wf, bf = fold_bn(w, gamma, beta, mean, var, bn_eps,
+                                     bn_formula)
+                    params[layer_key(i)] = {"w": wf, "b": bf}
+                else:
+                    params[layer_key(i)] = {
+                        "w": np.ascontiguousarray(w, np.float32),
+                        "gamma": gamma.copy(), "beta": beta.copy()}
+                    batch_stats[layer_key(i)] = {
+                        "mean": mean.copy(), "var": var.copy()}
+            else:
+                params[layer_key(i)] = {
+                    "w": np.ascontiguousarray(w, np.float32),
+                    "b": bias.copy()}
         prev = shapes[i]
 
     if ptr != buf.size:
@@ -178,6 +218,27 @@ def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
                 p = {k: np.asarray(v, np.float32) for k, v in params[key].items()}
                 fp.write(p["b"].tobytes())
                 fp.write(p["w"].T.tobytes())  # (In,Out) -> (Out,In)
+            elif isinstance(spec, S.Local):
+                p = {k: np.asarray(v, np.float32)
+                     for k, v in params[key].items()}
+                fp.write(p["b"].T.tobytes())   # (L,n) -> (n,L) planar
+                fp.write(p["w"].tobytes())     # (L,n,ssc) flat
+            elif isinstance(spec, S.Deconv):
+                p = {k: np.asarray(v, np.float32)
+                     for k, v in params[key].items()}
+                if spec.bn:
+                    if "gamma" not in p:
+                        raise ValueError(
+                            f"{key}: cannot serialize folded BN back to "
+                            ".weights")
+                    st = {k: np.asarray(v, np.float32)
+                          for k, v in batch_stats[key].items()}
+                    for arr in (p["beta"], p["gamma"], st["mean"],
+                                st["var"]):
+                        fp.write(arr.tobytes())
+                else:
+                    fp.write(p["b"].tobytes())
+                fp.write(p["w"].transpose(2, 3, 0, 1).tobytes())  # ->IOHW
             prev = shapes[i]
 
 
@@ -221,5 +282,12 @@ def param_count(specs, input_size: int, *, in_channels: int = 3,
             total += spec.filters * cin * spec.size * spec.size
         elif isinstance(spec, S.Dense):
             total += spec.units + prev[1] * spec.units
+        elif isinstance(spec, S.Local):
+            _, oh, ow, _ = shapes[i]
+            k = spec.size * spec.size * prev[3]
+            total += oh * ow * spec.filters * (1 + k)
+        elif isinstance(spec, S.Deconv):
+            total += spec.filters * (4 if (spec.bn and with_bn) else 1)
+            total += spec.filters * prev[3] * spec.size * spec.size
         prev = shapes[i]
     return total

@@ -89,10 +89,7 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                 # folded or bias-only conv
                 cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride,
                                pad=pad, compute_dtype=compute_dtype)
-            if spec.act == "leaky":
-                cur = L.leaky_relu(cur)
-            elif spec.act == "logistic":
-                cur = jax.nn.sigmoid(cur)
+            cur = _activate(cur, spec.act)
             if compute_dtype is not None and not train:
                 # keep activations narrow between layers: XLA fuses the cast
                 # into the conv epilogue, halving HBM traffic
@@ -127,12 +124,63 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             cur = jax.nn.softmax(cur.astype(jnp.float32), axis=-1)
         elif isinstance(spec, S.Detect):
             detections.append((cur, spec))
+        elif isinstance(spec, S.Local):
+            p = params[layer_key(i)]
+            cur = L.local_conv(cur, p["w"], p["b"], size=spec.size,
+                               stride=spec.stride, pad=spec.pad,
+                               compute_dtype=compute_dtype)
+            cur = _activate(cur, spec.act)
+        elif isinstance(spec, S.Deconv):
+            p = params[layer_key(i)]
+            if spec.bn and "gamma" in p:
+                cur = L.deconv2d(cur, p["w"], None, stride=spec.stride,
+                                 pad=spec.pad, compute_dtype=compute_dtype)
+                if train:
+                    cur, m, v = L.batch_norm_train(cur, p["gamma"],
+                                                   p["beta"], bn_eps)
+                    new_stats[layer_key(i)] = {"mean": m, "var": v}
+                else:
+                    st = batch_stats[layer_key(i)]
+                    cur = L.batch_norm_inference(
+                        cur, p["gamma"], p["beta"], st["mean"], st["var"],
+                        bn_eps, formula=bn_formula)
+            else:
+                cur = L.deconv2d(cur, p["w"], p["b"], stride=spec.stride,
+                                 pad=spec.pad, compute_dtype=compute_dtype)
+            cur = _activate(cur, spec.act)
+        elif isinstance(spec, S.Crop):
+            if train:
+                raise NotImplementedError(
+                    "Crop layers run their random crop in the host data "
+                    "pipeline at train time (data/augment.py); the in-graph "
+                    "layer implements the deterministic inference branch")
+            cur = L.crop_inference(cur, spec.crop_height, spec.crop_width,
+                                   noadjust=spec.noadjust)
+        elif isinstance(spec, S.LRN):
+            cur = L.lrn_darknet(cur, size=spec.size, alpha=spec.alpha,
+                                beta=spec.beta, kappa=spec.kappa)
+        elif isinstance(spec, S.L2Norm):
+            cur = L.l2norm_channels(cur)
+        elif isinstance(spec, S.Logistic):
+            cur = jax.nn.sigmoid(cur.astype(jnp.float32)).astype(cur.dtype)
         else:  # pragma: no cover
             raise TypeError(f"unknown spec {spec!r}")
         outputs.append(cur)
 
     aux = {"batch_stats": new_stats} if train else {}
     return detections, aux
+
+
+def _activate(x, act: str):
+    """Darknet activation by name (activations.c): leaky alpha=.1,
+    logistic, relu, linear."""
+    if act == "leaky":
+        return L.leaky_relu(x)
+    if act == "logistic":
+        return jax.nn.sigmoid(x)
+    if act == "relu":
+        return jax.nn.relu(x)
+    return x
 
 
 def infer_shapes(specs, input_shape) -> list:
@@ -179,7 +227,24 @@ def infer_shapes(specs, input_shape) -> list:
             cur = (cur[0], spec.units)
         elif isinstance(spec, S.GlobalAvgPool):
             cur = (cur[0], cur[3])
-        elif isinstance(spec, (S.Dropout, S.Detect, S.Softmax)):
+        elif isinstance(spec, S.Local):
+            b, h, w, c = cur
+            if spec.pad:
+                oh = (h - 1) // spec.stride + 1
+                ow = (w - 1) // spec.stride + 1
+            else:
+                oh = (h - spec.size) // spec.stride + 1
+                ow = (w - spec.size) // spec.stride + 1
+            cur = (b, oh, ow, spec.filters)
+        elif isinstance(spec, S.Deconv):
+            b, h, w, c = cur
+            oh = (h - 1) * spec.stride + spec.size - 2 * spec.pad
+            ow = (w - 1) * spec.stride + spec.size - 2 * spec.pad
+            cur = (b, oh, ow, spec.filters)
+        elif isinstance(spec, S.Crop):
+            cur = (cur[0], spec.crop_height, spec.crop_width, cur[3])
+        elif isinstance(spec, (S.Dropout, S.Detect, S.Softmax, S.LRN,
+                               S.L2Norm, S.Logistic)):
             pass
         shapes.append(cur)
     return shapes
@@ -198,6 +263,13 @@ def count_flops(specs, input_shape) -> float:
             total += 2.0 * oh * ow * co * ci * spec.size * spec.size
         elif isinstance(spec, S.Dense):
             total += 2.0 * prev[1] * spec.units
+        elif isinstance(spec, S.Local):
+            _, oh, ow, co = shapes[i]
+            total += 2.0 * oh * ow * co * prev[3] * spec.size * spec.size
+        elif isinstance(spec, S.Deconv):
+            _, oh, ow, co = shapes[i]
+            total += 2.0 * prev[1] * prev[2] * co * prev[3] \
+                * spec.size * spec.size
         prev = shapes[i]
     return total
 
@@ -236,5 +308,32 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
             fan_in = prev[1]
             w = jax.random.normal(sub, (fan_in, spec.units), dtype) * np.sqrt(2.0 / fan_in)
             params[layer_key(i)] = {"w": w, "b": jnp.zeros((spec.units,), dtype)}
+        elif isinstance(spec, S.Local):
+            rng, sub = jax.random.split(rng)
+            _, oh, ow, _ = shapes[i]
+            k = spec.size * spec.size * prev[3]
+            # make_local_layer: scale*rand_uniform(-1,1), scale=sqrt(2/k)
+            w = jax.random.uniform(sub, (oh * ow, spec.filters, k), dtype,
+                                   -1.0, 1.0) * np.sqrt(2.0 / k)
+            params[layer_key(i)] = {
+                "w": w, "b": jnp.zeros((oh * ow, spec.filters), dtype)}
+        elif isinstance(spec, S.Deconv):
+            rng, sub = jax.random.split(rng)
+            _, oh, ow, _ = shapes[i]
+            # make_deconvolutional_layer: .02*randn scaled by out/in area
+            w = jax.random.normal(
+                sub, (spec.size, spec.size, prev[3], spec.filters),
+                dtype) * (0.02 * oh * ow / (prev[1] * prev[2]))
+            p = {"w": w}
+            if spec.bn and not folded:
+                p["gamma"] = jnp.ones((spec.filters,), dtype)
+                p["beta"] = jnp.zeros((spec.filters,), dtype)
+                stats[layer_key(i)] = {
+                    "mean": jnp.zeros((spec.filters,), dtype),
+                    "var": jnp.ones((spec.filters,), dtype),
+                }
+            else:
+                p["b"] = jnp.zeros((spec.filters,), dtype)
+            params[layer_key(i)] = p
         prev = shapes[i]
     return params, stats

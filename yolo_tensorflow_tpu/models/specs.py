@@ -132,12 +132,89 @@ class Detect:
     anchor_mask: Tuple[int, ...] = ()
 
 
+@dataclass(frozen=True)
+class Local:
+    """Locally-connected (untied) convolution — darknet's [local] layer
+    (src/local_layer.c), used by the full YOLOv1 cfg's layer 28
+    (YOLO_V1/.../yolov1.txt:30). Every output location has its own
+    (size*size*c, filters) weight block and its own bias.
+
+    darknet quirk: the cfg ``pad`` value is used DIRECTLY as the pixel pad
+    amount (forward_local_layer passes l.pad to im2col), while the output
+    size formula assumes (h-1)/stride+1 when pad!=0 — these agree only for
+    size==3 (the one configuration darknet ships); other (size, pad!=0)
+    combos are rejected at spec validation.
+    """
+
+    filters: int
+    size: int
+    stride: int = 1
+    pad: int = 0
+    act: str = "logistic"   # parse_local's default activation
+
+
+@dataclass(frozen=True)
+class Deconv:
+    """Transposed convolution — darknet's [deconvolutional] layer
+    (src/deconvolutional_layer.c): out = (h-1)*stride + size - 2*pad,
+    weights stored (in_c, out_c, size, size) in the .weights stream."""
+
+    filters: int
+    size: int
+    stride: int = 1
+    pad: int = 0
+    bn: bool = False
+    act: str = "logistic"   # parse_deconvolutional's default
+
+
+@dataclass(frozen=True)
+class Crop:
+    """Crop layer (src/crop_layer.c) — classifier-era input augmentation.
+    Inference: center crop to (crop_height, crop_width) then x*2-1 unless
+    ``noadjust`` (forward_crop_layer's !net.train branch). Training-mode
+    random crop/flip lives in the host data pipeline (data/augment.py), not
+    here — the engine is deterministic inside jit."""
+
+    crop_height: int
+    crop_width: int
+    flip: bool = False
+    noadjust: bool = False
+
+
+@dataclass(frozen=True)
+class LRN:
+    """Cross-channel local response normalization — darknet's
+    [normalization] layer (src/normalization_layer.c), AlexNet-era
+    classifier cfgs. Reproduces the C rolling-window exactly, including its
+    init quirk: every channel's norm is missing the alpha*x[size/2]^2 term
+    (the init loop sums squares [0, size/2) but the rolling update assumes
+    it covered [0, size/2])."""
+
+    size: int = 5
+    alpha: float = 1e-4
+    beta: float = 0.75
+    kappa: float = 1.0
+
+
+@dataclass(frozen=True)
+class L2Norm:
+    """Per-position channel L2 normalization (src/l2norm_layer.c via
+    blas.c:126 l2normalize_cpu)."""
+
+
+@dataclass(frozen=True)
+class Logistic:
+    """Elementwise sigmoid as a layer (src/logistic_layer.c) — segmenter /
+    regressor heads."""
+
+
 SpecT = (Conv, MaxPool, Route, Shortcut, Reorg, Upsample,
-         TransposeFlatten, Dense, Dropout, GlobalAvgPool, Softmax, Detect)
+         TransposeFlatten, Dense, Dropout, GlobalAvgPool, Softmax, Detect,
+         Local, Deconv, Crop, LRN, L2Norm, Logistic)
 
 
 def has_params(spec) -> bool:
-    return isinstance(spec, (Conv, Dense))
+    return isinstance(spec, (Conv, Dense, Local, Deconv))
 
 
 class SpecBuilder:
@@ -180,6 +257,13 @@ class SpecBuilder:
     def detect(self, anchor_mask) -> int:
         return self.add(Detect(tuple(anchor_mask)))
 
+    def local(self, filters, size, stride=1, pad=0, act="leaky") -> int:
+        return self.add(Local(filters, size, stride, pad, act))
+
+    def deconv(self, filters, size, stride=1, pad=0, bn=False,
+               act="leaky") -> int:
+        return self.add(Deconv(filters, size, stride, pad, bn, act))
+
     def specs(self) -> Tuple:
         return tuple(self._specs)
 
@@ -203,6 +287,14 @@ def validate(specs) -> None:
         elif isinstance(s, Detect):
             if i == 0:
                 raise ValueError("Detect cannot be the first layer")
+        elif isinstance(s, Local):
+            if s.pad and s.size != 3:
+                raise ValueError(
+                    f"layer {i}: [local] pad={s.pad} with size={s.size} is "
+                    "internally inconsistent in darknet itself (im2col pads "
+                    f"{s.pad} px but the output-size formula assumes "
+                    "size==3); only size-3 padded local layers are "
+                    "supported")
         elif not isinstance(s, SpecT):
             raise TypeError(f"layer {i}: unknown spec {s!r}")
 

@@ -185,3 +185,100 @@ def dropout(x, rate, rng):
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def local_conv(x, w, b, *, size, stride=1, pad=0, compute_dtype=None):
+    """Locally-connected (untied) conv — forward_local_layer
+    (src/local_layer.c:92): per-location weight blocks, per-output-element
+    biases.
+
+    x: (B, H, W, C); w: (L, filters, size*size*C) with L = out_h*out_w and
+    the k axis ordered (channel, ky, kx) like darknet's im2col columns;
+    b: (L, filters). Returns (B, out_h, out_w, filters).
+
+    Maps to the MXU as one batched matmul over locations
+    (einsum 'blk,lnk->bln') — the TPU-native equivalent of darknet's
+    per-location gemm loop.
+    """
+    B, H, W, C = x.shape
+    if pad:
+        out_h = (H - 1) // stride + 1
+        out_w = (W - 1) // stride + 1
+    else:
+        out_h = (H - size) // stride + 1
+        out_w = (W - size) // stride + 1
+    patches = lax.conv_general_dilated_patches(
+        x.astype(compute_dtype or x.dtype),
+        filter_shape=(size, size), window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    # feature axis of patches is (C, ky, kx)-major — darknet's im2col order
+    L = out_h * out_w
+    patches = patches.reshape(B, L, size * size * C)
+    out = jnp.einsum("blk,lnk->bln", patches, w.astype(patches.dtype),
+                     preferred_element_type=jnp.float32)
+    out = out + b.astype(out.dtype)
+    return out.reshape(B, out_h, out_w, w.shape[1])
+
+
+def deconv2d(x, w, b=None, *, stride=1, pad=0, compute_dtype=None):
+    """Transposed convolution — forward_deconvolutional_layer
+    (src/deconvolutional_layer.c:222): out = (h-1)*stride + size - 2*pad.
+    w: HWIO (size, size, in_c, out_c). The col2im scatter is an UNFLIPPED
+    kernel scatter, so the equivalent gather correlation uses the
+    spatially-reversed kernel with lhs dilation."""
+    size = w.shape[0]
+    p = size - 1 - pad
+    dtype = compute_dtype or x.dtype
+    out = lax.conv_general_dilated(
+        x.astype(dtype), w[::-1, ::-1].astype(dtype),
+        window_strides=(1, 1), padding=[(p, p), (p, p)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def crop_inference(x, crop_h, crop_w, *, noadjust=False):
+    """Crop layer, inference branch (forward_crop_layer's !net.train path,
+    src/crop_layer.c:81-101): center crop + x*2-1 (identity scaling with
+    noadjust). Training-time random crop/flip is host augmentation."""
+    B, H, W, C = x.shape
+    dh = (H - crop_h) // 2
+    dw = (W - crop_w) // 2
+    out = lax.dynamic_slice(x, (0, dh, dw, 0), (B, crop_h, crop_w, C))
+    if noadjust:
+        return out
+    return out * 2.0 - 1.0
+
+
+def lrn_darknet(x, *, size=5, alpha=1e-4, beta=0.75, kappa=1.0):
+    """Cross-channel LRN — forward_normalization_layer
+    (src/normalization_layer.c:66): norms_k = kappa + alpha * sum of
+    squares over channels [k-(size-1)//2, k+size//2], reproducing the C
+    init quirk where EVERY channel's sum is missing the x[size//2]^2 term
+    (the init loop covers [0, size//2) but the rolling update assumes
+    [0, size//2]). Output = x * norms^-beta."""
+    x32 = x.astype(jnp.float32)
+    sq = jnp.square(x32)
+    C = x.shape[-1]
+    lo, hi = (size - 1) // 2, size // 2
+    # windowed channel sum with clipped edges
+    pad = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(lo, hi)])
+    csum = jnp.cumsum(pad, axis=-1)
+    zeros = jnp.zeros_like(csum[..., :1])
+    csum = jnp.concatenate([zeros, csum], axis=-1)
+    win = csum[..., size:size + C] - csum[..., 0:C]
+    deficit = sq[..., hi:hi + 1] if hi < C else 0.0
+    norms = kappa + alpha * (win - deficit)
+    return (x32 * norms ** (-beta)).astype(x.dtype)
+
+
+def l2norm_channels(x):
+    """Per-position channel L2 normalization (blas.c:126
+    l2normalize_cpu): x / sqrt(sum_c x^2), no epsilon — matching C."""
+    x32 = x.astype(jnp.float32)
+    n = jnp.sqrt(jnp.sum(jnp.square(x32), axis=-1, keepdims=True))
+    return (x32 / n).astype(x.dtype)
