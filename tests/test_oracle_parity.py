@@ -537,3 +537,97 @@ def test_exotic_cfg_roundtrip(rng, tmp_path):
     for k in params:
         for f in params[k]:
             np.testing.assert_array_equal(params[k][f], params2[k][f])
+
+
+TREE_TEXT = """n0 -1
+n1 -1
+n2 0
+n3 0
+n4 1
+n5 3
+n6 3
+"""
+
+
+def test_region_tree_c_oracle_documented_divergence(oracle, rng, tmp_path):
+    """The vendored darknet CANNOT serve as a tree-mode oracle: its
+    forward_region_layer tree softmax (region_layer.c:173-181) calls
+    softmax_cpu with count = coords+1 (an ELEMENT offset) and stride
+    n*w*h, which under the layer's anchor-major plane layout (entry_index,
+    region_layer.c:151) lands inside anchor 0's x/y/w/h planes and
+    overwrites them — corrupting its own boxes (NaNs observed below). Our
+    tree path instead applies the per-anchor group softmax that
+    get_region_detections' reader expects, and is gated against
+    transcriptions of the (sane) tree.c functions in tests/test_tree.py.
+    This test pins the divergence: our detections are finite and
+    normalized; the C's are self-corrupted."""
+    from yolo_tensorflow_tpu.models.tree import (SoftmaxTree,
+                                                 region_tree_detections)
+    tree = SoftmaxTree.parse(TREE_TEXT)
+    tpath = tmp_path / "t.tree"
+    tpath.write_text(TREE_TEXT)
+    A = 2
+    anchors = ((1.0, 1.5), (2.0, 2.5))
+    anchors_flat = ",".join(f"{a:g},{b:g}" for a, b in anchors)
+    cfgtext = f"""[net]
+height=32
+width=32
+channels=3
+
+[convolutional]
+filters=16
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+filters={A * (5 + tree.n)}
+size=1
+stride=1
+activation=linear
+
+[region]
+tree={tpath}
+anchors={anchors_flat}
+classes={tree.n}
+coords=4
+num={A}
+softmax=1
+"""
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg
+    specs, _, heads_opt = parse_cfg(cfgtext)
+    assert heads_opt[0].get("tree") == str(tpath)
+    params, _ = engine.init_params(specs, (1, 32, 32, 3),
+                                   jax.random.PRNGKey(5), folded=True)
+    params = jax.tree.map(np.asarray, params)
+    wpath = str(tmp_path / "t.weights")
+    W.save_darknet_weights(specs, 32, params, {}, wpath)
+    cpath = str(tmp_path / "t.cfg")
+    with open(cpath, "w") as f:
+        f.write(cfgtext)
+
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    outs, _ = engine.apply(specs, params, x)
+    (feat, _), = outs
+    raw = np.asarray(feat[0])
+
+    mine = region_tree_detections(raw, anchors, tree, thresh=0.2,
+                                  tree_thresh=0.5)
+    net = oracle.load(cpath, wpath)
+    ref = oracle.boxes(net, img, tree.n, thresh=0.2)
+    assert len(ref) == len(mine) > 0
+    # ours: finite boxes, per-group probabilities that sum to 1 on the
+    # group-softmax side (checked in test_tree), exactly one top class
+    live = 0
+    for m in mine:
+        assert np.isfinite(np.asarray(m["box"])).all()
+        assert (np.asarray(m["prob"]) > 0).sum() <= 1
+        live += m["objectness"] > 0
+    assert live > 0, "no live tree detections in sample"
+    # the C runtime corrupted its own output buffer (the documented bug)
+    ref_boxes = np.asarray([r["box"] for r in ref], np.float32)
+    assert not np.isfinite(ref_boxes).all(), (
+        "vendored darknet's region-tree forward no longer corrupts its "
+        "boxes — revisit: a bit-exact oracle gate may now be possible")

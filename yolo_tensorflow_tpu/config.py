@@ -8,6 +8,7 @@ YOLOV3.py:8-12) and hard-coded literals in the pipeline classes.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -55,6 +56,9 @@ class ModelConfig:
     boxes_per_cell: int = 2
     # explicit class-name override (models loaded from arbitrary .cfg files)
     custom_classes: Tuple = ()
+    # YOLO9000 softmax-tree file ([region] tree= option); empty = flat
+    # softmax. Loaded lazily via models.tree.SoftmaxTree.load.
+    tree_file: str = ""
 
     @property
     def num_classes(self) -> int:
@@ -153,10 +157,15 @@ def config_from_cfg(cfg_path: str, *, class_names_file: str = None,
                           custom_classes=names,
                           conf_threshold=0.5, iou_threshold=0.5)
     elif kind == "region":
+        tree_file = h0.get("tree", "")
+        if tree_file and not os.path.isabs(tree_file):
+            tree_file = os.path.join(os.path.dirname(
+                os.path.abspath(cfg_path)), tree_file)
         cfg = ModelConfig(name=name, dataset="voc", head=2,
                           input_size=input_size, anchors=anchors,
                           anchor_units="grid", custom_classes=names,
-                          conf_threshold=0.5, iou_threshold=0.5)
+                          conf_threshold=0.5, iou_threshold=0.5,
+                          tree_file=tree_file)
     else:  # detection (v1)
         cfg = ModelConfig(name=name, dataset="voc", head=1,
                           input_size=input_size, custom_classes=names,

@@ -142,6 +142,8 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
                 out.append("jitter=.3\nignore_thresh=.5\ntruth_thresh=1\nrandom=0")
             elif cfg.head == 2:
                 out.append("[region]")
+                if getattr(cfg, "tree_file", ""):
+                    out.append(f"tree={cfg.tree_file}")
                 out.append(f"anchors={anchors_flat}")
                 out.append(f"bias_match=1\nclasses={cfg.num_classes}")
                 out.append(f"coords=4\nnum={cfg.num_anchors}")

@@ -341,8 +341,43 @@ class RegionHyper:
         return cls(**kw)
 
 
+def _tree_tables(tree):
+    """Static numpy tables for the traced tree-class delta: ancestor path
+    matrix (n, depth+1, -1 padded) and each node's group id."""
+    import numpy as np
+    n = tree.n
+    depth = tree.max_depth
+    paths = np.full((n, depth + 1), -1, np.int32)
+    for c in range(n):
+        k, d = c, 0
+        while k >= 0:
+            paths[c, d] = k
+            k = tree.parent[k]
+            d += 1
+    return paths, np.asarray(tree.group, np.int32)
+
+
+def _tree_class_delta(cls_out, cls_id, scale, tree):
+    """delta_region_class's softmax_tree branch (region_layer.c:112-128)
+    for ONE anchor cell: walking up from ``cls_id``, every ancestor's
+    sibling group gets delta scale*(target - out) where target is 1 on the
+    path and 0 elsewhere; channels outside those groups stay 0.
+    cls_out: (n,) group-softmaxed; cls_id traced int."""
+    paths, group_ids = _tree_tables(tree)
+    path = jnp.asarray(paths)[cls_id]                    # (depth+1,)
+    valid = path >= 0
+    pc = jnp.maximum(path, 0)
+    onehot = jnp.zeros(tree.n).at[pc].add(
+        valid.astype(jnp.float32))                        # path indicator
+    pg = jnp.asarray(group_ids)[pc]                       # path groups
+    gmask = jnp.zeros(tree.groups).at[pg].max(
+        valid.astype(jnp.float32))
+    mask = gmask[jnp.asarray(group_ids)]                  # (n,)
+    return scale * (onehot - cls_out) * mask
+
+
 def _region_delta(raw, truths, anchors, seen, hyper: RegionHyper,
-                  num_classes: int):
+                  num_classes: int, tree=None):
     """Per-image delta, transcribing forward_region_layer
     (src/region_layer.c:158-320). raw: (H, W, A*(5+C)) anchor-major per-cell
     blocks of (tx, ty, tw, th, obj, classes); truths: (T, 5) normalized
@@ -354,7 +389,10 @@ def _region_delta(raw, truths, anchors, seen, hyper: RegionHyper,
     (region_layer.c:163-185), then builds delta against the activated values
     without applying activation derivatives (backward_region_layer_gpu
     axpy's delta directly), so grad w.r.t. the raw map is exactly -delta.
-    softmax_tree (YOLO9000) is handled by yolo9000_region_loss, not here.
+
+    tree: a models.tree.SoftmaxTree enables the YOLO9000 softmax_tree
+    branches — per-group class softmax, hierarchy class deltas, and the
+    classification-only-image path (truth x > 1e5 sentinel).
     """
     H, W = raw.shape[0], raw.shape[1]
     A, C = anchors.shape[0], num_classes
@@ -363,7 +401,10 @@ def _region_delta(raw, truths, anchors, seen, hyper: RegionHyper,
 
     sxy = jax.nn.sigmoid(p[..., 0:2])
     sobj = jax.nn.sigmoid(p[..., 4])
-    if hyper.softmax:
+    if tree is not None:
+        from yolo_tensorflow_tpu.models.tree import group_softmax
+        cls_out = group_softmax(p[..., 5:], tree)
+    elif hyper.softmax:
         cls_out = jax.nn.softmax(p[..., 5:], axis=-1)
     else:
         cls_out = jax.nn.sigmoid(p[..., 5:])
@@ -437,32 +478,74 @@ def _region_delta(raw, truths, anchors, seen, hyper: RegionHyper,
         # class (delta_region_class, region_layer.c:112-139; tag=0 when
         # softmax, so the full one-hot row is written)
         cls = t[4].astype(jnp.int32)
-        dcls = hyper.class_scale * (jax.nn.one_hot(cls, C) -
-                                    cls_out[cj, ci, best_n])
+        if tree is not None:
+            dcls = _tree_class_delta(cls_out[cj, ci, best_n], cls,
+                                     hyper.class_scale, tree)
+        else:
+            dcls = hyper.class_scale * (jax.nn.one_hot(cls, C) -
+                                        cls_out[cj, ci, best_n])
 
         new = jnp.concatenate([dbox, dobj[None], dcls])
         cur = delta[cj, ci, best_n]
         delta = delta.at[cj, ci, best_n].set(jnp.where(valid, new, cur))
 
         do = valid.astype(jnp.float32)
+        if tree is not None:
+            # avg_cat accumulates the hierarchy path product (tree.c:27)
+            paths, _ = _tree_tables(tree)
+            path = jnp.asarray(paths)[cls]
+            pvals = jnp.where(path >= 0,
+                              cls_out[cj, ci, best_n, jnp.maximum(path, 0)],
+                              1.0)
+            cat = jnp.prod(pvals)
+        else:
+            cat = cls_out[cj, ci, best_n, cls]
         met = {
             "count": met["count"] + do,
             "iou_sum": met["iou_sum"] + do * iou,
             "recall": met["recall"] + do * (iou > 0.5),
             "obj_sum": met["obj_sum"] + do * obj,
-            "cls_sum": met["cls_sum"] + do * cls_out[cj, ci, best_n, cls],
+            "cls_sum": met["cls_sum"] + do * cat,
         }
         return delta, met
 
     met0 = {k: jnp.float32(0) for k in
             ("count", "iou_sum", "recall", "obj_sum", "cls_sum")}
     delta, met = lax.fori_loop(0, T, per_truth, (delta, met0))
+
+    if tree is not None:
+        # YOLO9000 joint-training branch (region_layer.c:199-231): a truth
+        # with x > 100000 marks a classification-only image — noobject
+        # deltas everywhere (no ignore-thresh, no warmup, no box deltas),
+        # tree class delta at the single (cell, anchor) whose
+        # obj*hierarchy_prob(class) is highest, obj delta zeroed there.
+        oc = truths[:, 0] > 1e5
+        has_oc = jnp.any(oc)
+        oc_cls = truths[jnp.argmax(oc), 4].astype(jnp.int32)
+        paths, _ = _tree_tables(tree)
+        path = jnp.asarray(paths)[oc_cls]
+        pvals = jnp.where(path >= 0,
+                          cls_out[..., jnp.maximum(path, 0)], 1.0)
+        hprob = jnp.prod(pvals, axis=-1)                    # (H,W,A)
+        score = sobj * hprob
+        flat = jnp.argmax(score.reshape(-1))
+        mj, mi, mn = jnp.unravel_index(flat, score.shape)
+        d_only = jnp.zeros_like(delta)
+        d_only = d_only.at[..., 4].set(hyper.noobject_scale * (0.0 - sobj))
+        d_only = d_only.at[mj, mi, mn, 4].set(0.0)
+        dcls = _tree_class_delta(cls_out[mj, mi, mn], oc_cls,
+                                 hyper.class_scale, tree)
+        d_only = d_only.at[mj, mi, mn, 5:].set(dcls)
+        delta = jnp.where(has_oc, d_only, delta)
+        met_only = dict(met0, cls_sum=hprob[mj, mi, mn])
+        met = {k: jnp.where(has_oc, met_only[k], met[k]) for k in met}
+
     met["avg_anyobj"] = jnp.mean(sobj)
     return delta, met
 
 
 def yolo_v2_region_loss(raw, truths, cfg, *, seen=None,
-                        hyper: RegionHyper = RegionHyper()):
+                        hyper: RegionHyper = RegionHyper(), tree=None):
     """Darknet-exact v2 training loss (forward_region_layer,
     src/region_layer.c:158). raw: (B, H, W, A*(5+C)); truths: (B, T, 5)
     normalized with w==0 padding; seen: images processed so far (traced ok),
@@ -477,8 +560,9 @@ def yolo_v2_region_loss(raw, truths, cfg, *, seen=None,
     anchors = jnp.asarray(cfg.anchors, jnp.float32)
     seen_v = jnp.asarray(hyper.warmup_seen if seen is None else seen,
                          jnp.int32)
+    num_out = tree.n if tree is not None else cfg.num_classes
     fn = functools.partial(_region_delta, anchors=anchors, seen=seen_v,
-                           hyper=hyper, num_classes=cfg.num_classes)
+                           hyper=hyper, num_classes=num_out, tree=tree)
     delta, met = jax.vmap(fn)(raw, truths)
     delta = lax.stop_gradient(delta)
     # 1/batch: darknet applies learning_rate/batch at update time
