@@ -70,10 +70,16 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             p = params[layer_key(i)]
             pad = None if spec.pad < 0 else spec.pad
             if "w_q" in p:
-                # int8 serving path (ops/quant.py): MXU runs int8 ~3x bf16
+                # int8 serving path (ops/quant.py): ~1.4x bf16 e2e on v5e
+                # (shape-dependent; see PERF_INT8.md).
+                # Epilogue in compute_dtype (bf16 serving) — measured ~1.5%
+                # over f32 — but f32 when mixing with full-precision layers
+                # so downstream unquantized convs see matching dtypes.
                 from yolo_tensorflow_tpu.ops.quant import conv2d_int8
                 cur = conv2d_int8(cur, p["w_q"], p["s_x"], p["s_w"], p["b"],
-                                  stride=spec.stride, pad=pad)
+                                  stride=spec.stride, pad=pad,
+                                  epilogue_dtype=compute_dtype
+                                  or jnp.float32)
             elif spec.bn and "gamma" in p:
                 cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
                                pad=pad, compute_dtype=compute_dtype)

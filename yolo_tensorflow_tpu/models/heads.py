@@ -150,11 +150,16 @@ def decode_v2_activated(act, cfg: ModelConfig):
             class_probs.reshape(batch, n, C))
 
 
-def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int):
+def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int,
+                    score_dtype=jnp.float32):
     """One FPN scale (YOLOV3.py:168-238): feat (B, G, G, A*(5+C)).
 
     Box layout per cell is anchor-major; centers = (sigmoid + cell)/G;
     sizes = exp * anchor_in_grid_units / G; conf and classes sigmoid.
+    score_dtype=bfloat16 computes conf/class sigmoids in bf16 (boxes stay
+    f32) — a serving knob worth ~3% e2e on v5e at int8-416 (the (N, C)
+    score tensor halves); score granularity 2^-9, well under int8
+    quantization noise.
     """
     A = len(anchors_px)
     C = num_classes
@@ -163,8 +168,8 @@ def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int):
 
     xy = jax.nn.sigmoid(det[..., 0:2])
     wh = jnp.exp(det[..., 2:4])
-    conf = jax.nn.sigmoid(det[..., 4])
-    class_probs = jax.nn.sigmoid(det[..., 5:])
+    conf = jax.nn.sigmoid(det[..., 4].astype(score_dtype))
+    class_probs = jax.nn.sigmoid(det[..., 5:].astype(score_dtype))
 
     col = jax.lax.broadcasted_iota(jnp.float32, (Gh, Gw), 1).reshape(1, Gh * Gw, 1)
     row = jax.lax.broadcasted_iota(jnp.float32, (Gh, Gw), 0).reshape(1, Gh * Gw, 1)
@@ -182,7 +187,7 @@ def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int):
             class_probs.reshape(batch, n, C))
 
 
-def decode(detections, cfg: ModelConfig):
+def decode(detections, cfg: ModelConfig, score_dtype=jnp.float32):
     """Decode the engine's list of (feature_map, Detect) into normalized
     (boxes_xywh, conf, class_probs), concatenating FPN scales in spec order
     (v3: 13² then 26² then 52², matching YOLOV3.py:344)."""
@@ -196,7 +201,8 @@ def decode(detections, cfg: ModelConfig):
     for feat, det in detections:
         anchors = [cfg.anchors[i] for i in det.anchor_mask]
         parts.append(decode_v3_scale(feat, anchors, cfg.input_size,
-                                     cfg.num_classes))
+                                     cfg.num_classes,
+                                     score_dtype=score_dtype))
     boxes = jnp.concatenate([p[0] for p in parts], axis=1)
     conf = jnp.concatenate([p[1] for p in parts], axis=1)
     probs = jnp.concatenate([p[2] for p in parts], axis=1)

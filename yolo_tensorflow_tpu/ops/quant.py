@@ -1,8 +1,11 @@
 """Int8 (w8a8) quantized serving path.
 
-The v5e MXU runs int8 x int8 -> int32 convolutions ~2.9x faster than
-bf16 (measured: 232 vs 80 TOPS on a Darknet-53-shaped layer). This module
-adds post-training quantization:
+The v5e MXU runs int8 x int8 -> int32 convolutions faster than bf16 — by
+a shape-dependent 1.1-1.6x through XLA (3x3 convs gain the most, 1x1
+squeeze convs barely move), a measured ~1.55x over the whole Darknet-53
+mix and ~1.38x end-to-end with decode+NMS. The full profile, HLO fusion
+evidence, and the ceiling analysis live in PERF_INT8.md. This module adds
+post-training quantization:
 
   * per-output-channel symmetric weight scales  s_w[o] = max|w[...,o]|/127
   * per-layer static activation scales          s_x = calibrated max|x|/127
@@ -134,9 +137,20 @@ def quantize_params(specs, folded_params, act_scales: Dict[str, float], *,
     return out
 
 
-def conv2d_int8(x, w_q, s_x, s_w, b, *, stride=1, pad=None):
+def conv2d_int8(x, w_q, s_x, s_w, b, *, stride=1, pad=None,
+                epilogue_dtype=jnp.bfloat16):
     """Quantize input, int8 MXU conv with int32 accumulation, dequantize +
-    bias. x: float (any precision); returns f32."""
+    bias. x: float (any precision).
+
+    The dequant epilogue runs in bfloat16 by default: measured on v5e
+    (tools/int8_ablate.py, yolov3-416 backbone, batch 256) the f32
+    epilogue gives 3240 img/s, bf16 3288, and stripping the epilogue
+    entirely only 3612 — i.e. the whole dequant+bias+leaky+requant chain
+    costs ~10% and XLA output-fuses it into the conv either way (verified
+    in the optimized HLO: the s32 accumulator never round-trips HBM; the
+    fusion emits s8 directly when the consumer is the next quantized
+    conv). The precision cost of bf16 dequant is below the int8
+    quantization noise floor. Returns ``epilogue_dtype``."""
     from jax import lax
     k = w_q.shape[0]
     if pad is None:
@@ -147,7 +161,8 @@ def conv2d_int8(x, w_q, s_x, s_w, b, *, stride=1, pad=None):
         xq, w_q, (stride, stride), ((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (s_x * s_w) + b
+    sc = (s_x * s_w).astype(epilogue_dtype)
+    return acc.astype(epilogue_dtype) * sc + b.astype(epilogue_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,8 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
                  iou_threshold: Optional[float] = None,
                  class_aware_nms: Optional[bool] = None,
                  fused_decode: Optional[bool] = None,
-                 tta: bool = False, tta_mode: str = "darknet"):
+                 tta: bool = False, tta_mode: str = "darknet",
+                 score_dtype=None):
     """Build the pure forward fn: (params, uint8 images) -> Detections.
 
     fused_decode: use the Pallas decode+score kernel
@@ -90,7 +91,8 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
                 boxes, scores, labels, conf_threshold=conf_t,
                 iou_threshold=iou_t, max_detections=max_det,
                 num_candidates=num_candidates, class_aware=class_aware)
-        boxes_xywh, conf, probs = heads.decode(dets, cfg)
+        boxes_xywh, conf, probs = heads.decode(
+            dets, cfg, score_dtype=score_dtype or jnp.float32)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
         return NMS.batched_nms(
             boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
@@ -105,7 +107,8 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
                            max_detections: Optional[int] = None,
                            conf_threshold: Optional[float] = None,
                            iou_threshold: Optional[float] = None,
-                           class_aware_nms: Optional[bool] = None):
+                           class_aware_nms: Optional[bool] = None,
+                           score_dtype=None):
     """Forward with the letterbox FUSED into the jit (BASELINE.md north
     star): (params, canvas (B,Hc,Hc,3) uint8, sizes (B,2) int32 [h,w]) ->
     Detections whose boxes are in ORIGINAL-image pixels. The host does no
@@ -133,7 +136,8 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
             x = x.astype(compute_dtype)
         dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
                                compute_dtype=compute_dtype)
-        boxes_xywh, conf, probs = heads.decode(dets, cfg)
+        boxes_xywh, conf, probs = heads.decode(
+            dets, cfg, score_dtype=score_dtype or jnp.float32)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
         out = NMS.batched_nms(
             boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
@@ -171,7 +175,7 @@ class Detector:
         self.fused = fused and letterbox
         nms_keys = {"num_candidates", "max_detections", "conf_threshold",
                     "iou_threshold", "class_aware_nms", "fused_decode",
-                    "tta", "tta_mode"}
+                    "tta", "tta_mode", "score_dtype"}
         nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
                       if k in nms_keys}
         specs = overrides.pop("specs", None)

@@ -133,9 +133,11 @@ def batched_nms(boxes_xyxy, conf, class_probs, *, conf_threshold=0.5,
     Scoring matches the reference: score = conf * class_prob, label = argmax
     over the class-specific scores (YOLOV3.py:353-362, postprocess.py:47-64).
     """
-    scores_all = conf[..., None] * class_probs
-    labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
-    scores = jnp.max(scores_all, axis=-1)
+    # factored scoring: conf >= 0 and rounding is monotonic, so
+    # max(conf*p) == conf*max(p) and argmax(conf*p) == argmax(p)
+    # bit-for-bit — without materializing the (B, N, C) product
+    labels = jnp.argmax(class_probs, axis=-1).astype(jnp.int32)
+    scores = (conf * jnp.max(class_probs, axis=-1)).astype(jnp.float32)
 
     fn = functools.partial(
         _nms_single, conf_threshold=conf_threshold,
