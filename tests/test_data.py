@@ -208,3 +208,36 @@ def test_loader_worker_error_propagates():
     with pytest.raises(OSError, match="boom"):
         for _ in ld.epoch():
             pass
+
+
+def test_voc_label_writer_roundtrip(tmp_path):
+    """write_darknet_labels emits voc_label.py's outputs; the darknet-list
+    loader reads them back to the same boxes."""
+    import textwrap
+    base = tmp_path / "VOC2007"
+    (base / "Annotations").mkdir(parents=True)
+    (base / "ImageSets" / "Main").mkdir(parents=True)
+    (base / "JPEGImages").mkdir()
+    xml = textwrap.dedent("""\
+        <annotation>
+          <size><width>200</width><height>100</height><depth>3</depth></size>
+          <object><name>dog</name><difficult>0</difficult>
+            <bndbox><xmin>50</xmin><ymin>25</ymin><xmax>150</xmax><ymax>75</ymax></bndbox>
+          </object>
+        </annotation>""")
+    for img_id in ("000001", "000002"):
+        (base / "Annotations" / f"{img_id}.xml").write_text(xml)
+    (base / "ImageSets" / "Main" / "train.txt").write_text(
+        "000001\n000002\n")
+
+    lists = D.write_darknet_labels(str(tmp_path), "train",
+                                   out_list_dir=str(tmp_path / "lists"))
+    assert len(lists) == 1
+    lab = (base / "labels" / "000001.txt").read_text().split()
+    assert int(lab[0]) == 11  # dog
+    np.testing.assert_allclose([float(v) for v in lab[1:]],
+                               [0.5, 0.5, 0.5, 0.5], atol=1e-6)
+    samples = D.load_darknet_list(lists[0])
+    assert len(samples) == 2
+    np.testing.assert_allclose(samples[0].boxes[0],
+                               [0.5, 0.5, 0.5, 0.5, 11], atol=1e-6)

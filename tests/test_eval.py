@@ -173,3 +173,16 @@ def test_result_file_writers(tmp_path):
 
     assert coco_image_id("/x/COCO_val2014_000000123.jpg") == 123
     assert coco_image_id("images/000017.jpg") == 17
+
+
+def test_recall_stats():
+    from yolo_tensorflow_tpu.eval.map import recall_stats
+    gt = [{"boxes": np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32),
+           "classes": np.asarray([0, 1])}]
+    det = [{"boxes": np.asarray([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32),
+            "scores": np.asarray([0.9, 0.8]),
+            "classes": np.asarray([5, 0])}]   # class ignored (proposals)
+    out = recall_stats(det, gt)
+    assert out["recall"] == 0.5 and out["correct"] == 1
+    assert out["proposals_per_image"] == 2.0
+    assert abs(out["avg_iou"] - 0.5) < 1e-6

@@ -158,3 +158,35 @@ def test_multi_step_equals_sequential():
     for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("model", ["yolov2-tiny-voc", "yolov1-tiny"])
+def test_dp_matches_single_device_new_losses(model):
+    """The darknet region (v2) and detection (v1) losses — fori_loop truth
+    scatters, warmup, responsibility scans — must shard over the data axis
+    with bit-matching steps (GSPMD psum of the -delta/batch grads)."""
+    import dataclasses
+    cfg = C.get_config(model, input_size=SIZE)
+    if model == "yolov1-tiny":
+        cfg = dataclasses.replace(cfg, grid=4, boxes_per_cell=2,
+                                  custom_classes=("a", "b"))
+    images, truths = _batch(8)
+
+    def run(n_data):
+        mesh = M.make_mesh(n_data, 1)
+        tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=4))
+        state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                     input_size=SIZE)
+        step = T.make_sharded_train_step(cfg, tx, mesh, input_size=SIZE)
+        with mesh:
+            im, tr = M.shard_batch(mesh, images, truths)
+            state, m = step(state, im, tr)
+        return state, m
+
+    s1, m1 = run(1)
+    s8, m8 = run(8)
+    np.testing.assert_allclose(float(m1["cost"]), float(m8["cost"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)

@@ -70,3 +70,15 @@ def test_in_training_eval(tmp_path, capsys):
     run_training(args)
     out = capsys.readouterr().out
     assert "val mAP@0.5" in out
+
+
+def test_run_training_v2_region_loss(tmp_path, capsys):
+    """The runner trains a v2 model through the darknet region loss
+    (default since round 2), including the traced seen-counter plumbing."""
+    from yolo_tensorflow_tpu.train.runner import run_training
+    lst = _make_dataset(tmp_path)
+    args = _args(tmp_path, lst, steps=3, ckpt_dir=tmp_path / "ck2")
+    args.model = "yolov2-tiny-voc"
+    run_training(args)
+    out = capsys.readouterr().out
+    assert "step" in out and (tmp_path / "ck2" / "latest.json").exists()

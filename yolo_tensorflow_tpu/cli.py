@@ -174,6 +174,10 @@ def cmd_eval(args):
             np.zeros((0,), np.int32),
         })
     n_cls = det.cfg.num_classes
+    if args.recall:
+        from yolo_tensorflow_tpu.eval.map import recall_stats
+        print(json.dumps(recall_stats(dets, gts), indent=2, default=float))
+        return
     if args.write_results:
         from yolo_tensorflow_tpu.eval.map import (write_coco_results,
                                                   write_voc_results)
@@ -402,6 +406,16 @@ def cmd_export_darknet(args):
     print(f"wrote {args.out}.cfg + {args.out}.weights")
 
 
+def cmd_voc_label(args):
+    """VOC XML -> darknet labels/*.txt + image lists (scripts/voc_label.py)."""
+    from yolo_tensorflow_tpu.data.datasets import write_darknet_labels
+    lists = write_darknet_labels(args.root, args.image_sets,
+                                 year=args.year,
+                                 out_list_dir=args.out_dir)
+    for p in lists:
+        print(f"wrote {p}")
+
+
 def cmd_bench(args):
     os.environ["BENCH_BATCH"] = str(args.batch)
     import bench
@@ -471,6 +485,9 @@ def main(argv=None):
     p.add_argument("--coco-results", action="store_true",
                    help="with --write-results: COCO results-json instead "
                         "of VOC per-class files")
+    p.add_argument("--recall", action="store_true",
+                   help="IoU/recall stats instead of mAP "
+                        "(validate_detector_recall, detector.c:489)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model")
@@ -493,6 +510,16 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0,
                    help="run val-list mAP every N steps (needs --val-list)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("voc-label",
+                       help="VOC XML -> darknet labels + lists "
+                            "(scripts/voc_label.py)")
+    p.add_argument("--root", required=True, help="VOCdevkit root")
+    p.add_argument("--year", default="2007")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("image_sets", nargs="+",
+                   help="e.g. train val test")
+    p.set_defaults(fn=cmd_voc_label)
 
     p = sub.add_parser("bench", help="throughput benchmark")
     p.add_argument("--batch", type=int, default=64)

@@ -124,3 +124,36 @@ def load_darknet_list(list_file: str) -> List[Sample]:
             samples.append(Sample(
                 img, np.asarray(rows, np.float32).reshape(-1, 5)))
     return samples
+
+
+def write_darknet_labels(root: str, image_sets, *, year: str = "2007",
+                         out_list_dir: str = ".") -> List[str]:
+    """The WRITE half of scripts/voc_label.py:7-24: for each VOC image-set,
+    convert every annotation XML into 'labels/<id>.txt' files with
+    'cls cx cy w h' rows (xywh-normalized like voc_label's convert()) and
+    emit a '<year>_<set>.txt' image list. Returns the list-file paths."""
+    base = os.path.join(root, f"VOC{year}")
+    labels_dir = os.path.join(base, "labels")
+    os.makedirs(labels_dir, exist_ok=True)
+    os.makedirs(out_list_dir, exist_ok=True)
+    lists = []
+    for image_set in ([image_sets] if isinstance(image_sets, str)
+                      else image_sets):
+        ids_file = os.path.join(base, "ImageSets", "Main",
+                                f"{image_set}.txt")
+        with open(ids_file) as f:
+            ids = [l.strip() for l in f if l.strip()]
+        list_path = os.path.join(out_list_dir, f"{year}_{image_set}.txt")
+        with open(list_path, "w") as lf:
+            for img_id in ids:
+                xml = os.path.join(base, "Annotations", f"{img_id}.xml")
+                boxes = parse_voc_xml(xml)
+                with open(os.path.join(labels_dir,
+                                       f"{img_id}.txt"), "w") as out:
+                    for cx, cy, w, h, cls in boxes:
+                        out.write(f"{int(cls)} {cx:.6f} {cy:.6f} "
+                                  f"{w:.6f} {h:.6f}\n")
+                lf.write(os.path.join(base, "JPEGImages",
+                                      f"{img_id}.jpg") + "\n")
+        lists.append(list_path)
+    return lists

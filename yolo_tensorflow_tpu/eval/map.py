@@ -217,3 +217,32 @@ def coco_image_id(path: str) -> int:
     tail = base.rsplit("_", 1)[-1]
     digits = "".join(ch for ch in tail if ch.isdigit())
     return int(digits) if digits else 0
+
+
+def recall_stats(detections, groundtruth, *, iou_threshold: float = 0.5):
+    """validate_detector_recall (examples/detector.c:489-558): per ground
+    truth box, the best IoU over ALL detections regardless of class;
+    recall = fraction above the IoU threshold; avg_iou over truths;
+    proposals per image. detections/groundtruth use the evaluate_detections
+    format (pixel-space xyxy boxes)."""
+    total = correct = proposals = 0
+    iou_sum = 0.0
+    for det, gt in zip(detections, groundtruth):
+        db = np.asarray(det["boxes"], np.float32).reshape(-1, 4)
+        proposals += len(db)
+        gb = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
+        if not len(gb):
+            continue
+        ious = box_iou_xyxy(gb, db) if len(db) else \
+            np.zeros((len(gb), 0), np.float32)
+        best = ious.max(axis=1) if len(db) else np.zeros(len(gb))
+        total += len(gb)
+        iou_sum += float(best.sum())
+        correct += int((best > iou_threshold).sum())
+    return {
+        "recall": correct / max(total, 1),
+        "avg_iou": iou_sum / max(total, 1),
+        "proposals_per_image": proposals / max(len(detections), 1),
+        "truths": total,
+        "correct": correct,
+    }
