@@ -6,18 +6,27 @@ with eval/map.py on held-out scenes — the full train -> fold -> detect ->
 score loop on one chip. The reference has no TF training pipeline at all
 (SURVEY.md §0); this exercises ours for real.
 
-Usage:  PYTHONPATH=. python tools/synthetic_train_demo.py [steps]
+Usage:  PYTHONPATH=. python tools/synthetic_train_demo.py [steps] [model]
 
-Recorded runs (one TPU v5e chip, from-scratch, COCO anchors, no tuning):
-  1200 steps -> held-out mAP@0.5 = 0.52
-  3500 steps -> held-out mAP@0.5 = 0.848
-               (circle 0.92, square 0.82, triangle 0.81)
+Recorded runs (one TPU v5e chip, from-scratch, no tuning):
+  yolov3-tiny (COCO anchors):
+    1200 steps -> held-out mAP@0.5 = 0.52
+    3500 steps -> held-out mAP@0.5 = 0.848
+                 (circle 0.92, square 0.82, triangle 0.81)
+  yolov2-tiny-voc (darknet region loss, round 2; shape-scaled anchors —
+  a 9-conv backbone on a 5x5 grid, so expectedly below v3-tiny):
+    2000 steps -> held-out mAP@0.5 = 0.545
+    4500 steps -> held-out mAP@0.5 = 0.668
+                 (circle 0.75, square 0.66, triangle 0.60); int8 delta -0.005
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SIZE = 160
 CLASSES = ("circle", "square", "triangle")
@@ -56,7 +65,8 @@ def make_batch(rng, n, max_boxes=8):
     return imgs, tr
 
 
-def main(steps=1200, batch=32):
+def main(steps=1200, batch=32, model="yolov3-tiny"):
+    import dataclasses
     import jax
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.eval.map import evaluate_detections
@@ -64,7 +74,15 @@ def main(steps=1200, batch=32):
     from yolo_tensorflow_tpu.pipeline import Detector
     from yolo_tensorflow_tpu.train import loop as T
 
-    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    if model == "yolov2-tiny-voc":
+        # v2 via the darknet region loss; anchors scaled to the shapes task
+        # (grid units at stride 32 -> grid 5 for 160px input)
+        cfg = dataclasses.replace(
+            C.get_config("yolov2-tiny-voc", input_size=SIZE),
+            custom_classes=CLASSES,
+            anchors=((0.8, 0.8), (1.5, 1.5), (2.4, 2.4)))
+    else:
+        cfg = C.get_config(model, input_size=SIZE)
     tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=100),
                           weight_decay=5e-4)
     state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
@@ -74,7 +92,7 @@ def main(steps=1200, batch=32):
 
     rng = np.random.default_rng(0)
     pool = [make_batch(rng, batch) for _ in range(40)]  # fresh-ish data
-    print(f"training yolov3-tiny on synthetic shapes: {steps} steps, "
+    print(f"training {cfg.name} on synthetic shapes: {steps} steps, "
           f"batch {batch}, {SIZE}x{SIZE}, device {jax.devices()[0]}",
           flush=True)
     t0 = time.time()
@@ -89,7 +107,7 @@ def main(steps=1200, batch=32):
     print(f"trained in {time.time()-t0:.0f}s", flush=True)
 
     folded = fold_params(state.params, state.batch_stats, cfg.bn_eps)
-    det = Detector("yolov3-tiny", params=folded, input_size=SIZE,
+    det = Detector(cfg, params=folded,
                    conf_threshold=0.3, iou_threshold=0.45,
                    max_detections=10)
     erng = np.random.default_rng(777)
@@ -119,7 +137,7 @@ def main(steps=1200, batch=32):
     calib = [pool[i][0][:8] for i in range(8)]
     scales = Q.calibrate_activations(specs, folded, calib, cfg=cfg)
     qparams = Q.quantize_params(specs, folded, scales)
-    det_q = Detector("yolov3-tiny", params=qparams, input_size=SIZE,
+    det_q = Detector(cfg, params=qparams,
                      conf_threshold=0.3, iou_threshold=0.45,
                      max_detections=10)
     erng = np.random.default_rng(777)
@@ -139,4 +157,5 @@ def main(steps=1200, batch=32):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200,
+         model=sys.argv[2] if len(sys.argv) > 2 else "yolov3-tiny")

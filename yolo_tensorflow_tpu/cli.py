@@ -34,6 +34,12 @@ def _add_model_args(p, weights_required=True):
     p.add_argument("--input-size", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute (serving mode)")
+    p.add_argument("--letterbox", action="store_true",
+                   help="aspect-preserving letterbox preprocessing "
+                        "(darknet's test path) instead of stretch resize")
+    p.add_argument("--fused-letterbox", action="store_true",
+                   help="with --letterbox: run the resize/pad/box-unmap "
+                        "inside the jit (ops/preprocess.py)")
 
 
 def _build_detector(args):
@@ -60,6 +66,8 @@ def _build_detector(args):
             cfg = dataclasses.replace(cfg, input_size=args.input_size)
         return Detector(cfg, weights, params=params, specs=specs,
                         compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                        letterbox=getattr(args, "letterbox", False),
+                        fused=getattr(args, "fused_letterbox", False),
                         **nms)
     if not args.model:
         raise SystemExit("need --model or --cfg")
@@ -67,6 +75,8 @@ def _build_detector(args):
         over["input_size"] = args.input_size
     return Detector(args.model, weights, params=params,
                     compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                    letterbox=getattr(args, "letterbox", False),
+                    fused=getattr(args, "fused_letterbox", False),
                     **over, **nms)
 
 

@@ -106,6 +106,11 @@ def run_training(args):
         state = restored
         print(f"resumed from step {start_step}")
 
+    if args.multiscale and cfg.head == 1:
+        raise SystemExit("--multiscale is incompatible with v1 (FC-head) "
+                         "models: the dense layer fixes the input size "
+                         "(darknet's v1-era trainer, examples/yolo.c, has "
+                         "no multi-scale either)")
     loader = DetectionLoader(samples, args.batch_size, cfg.input_size,
                              train=True)
     # one compiled step per input size (multi-scale), darknet resizes the
