@@ -82,3 +82,41 @@ def test_run_training_v2_region_loss(tmp_path, capsys):
     run_training(args)
     out = capsys.readouterr().out
     assert "step" in out and (tmp_path / "ck2" / "latest.json").exists()
+
+
+def test_run_training_classifier(tmp_path, capsys):
+    """Classifier training (examples/classifier.c train_classifier): labels
+    from class-name substring matching, softmax CE loss, top-1 val eval."""
+    import cv2
+    from yolo_tensorflow_tpu.train.runner import run_training
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(8):
+        cls = i % 2
+        img = np.full((64, 64, 3), 30, np.uint8)
+        if cls == 0:     # "dark" class: dim noise
+            img += rng.integers(0, 20, img.shape).astype(np.uint8)
+        else:            # "bright" class
+            img[:] = 200
+        name = f"{'dark' if cls == 0 else 'bright'}_{i}.jpg"
+        p = img_dir / name
+        cv2.imwrite(str(p), img)
+        paths.append(str(p))
+    lst = tmp_path / "train.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    names = tmp_path / "names.txt"
+    names.write_text("dark\nbright\n")
+
+    args = _args(tmp_path, str(lst), steps=6, ckpt_dir=tmp_path / "ckc")
+    args.model = "darknet19-classifier"
+    args.input_size = 64
+    args.names = str(names)
+    args.val_list = str(lst)
+    args.eval_every = 6
+    args.lr = 5e-3
+    run_training(args)
+    out = capsys.readouterr().out
+    assert "acc" in out and "val top-1" in out
+    assert (tmp_path / "ckc" / "latest.json").exists()

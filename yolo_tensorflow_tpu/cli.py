@@ -500,9 +500,16 @@ def main(argv=None):
                         "(validate_detector_recall, detector.c:489)")
     p.set_defaults(fn=cmd_eval)
 
-    p = sub.add_parser("train", help="train a model")
+    p = sub.add_parser("train", help="train a model (detector or classifier)")
     p.add_argument("--model", required=True, choices=MODEL_NAMES)
-    p.add_argument("--list", required=True, help="darknet-format image list")
+    p.add_argument("--list", required=True,
+                   help="image list: darknet detection format, or for "
+                        "classifier models plain paths with the class name "
+                        "in each path (fill_truth convention)")
+    p.add_argument("--names", default=None,
+                   help="class-names file (one per line); overrides the "
+                        "registry classes — required for classifier "
+                        "training on custom classes")
     p.add_argument("--val-list")
     p.add_argument("--weights", help="initial weights (.weights or .npz)")
     p.add_argument("--ckpt-dir", default="ckpts")

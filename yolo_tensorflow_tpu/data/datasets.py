@@ -157,3 +157,26 @@ def write_darknet_labels(root: str, image_sets, *, year: str = "2007",
                                       f"{img_id}.jpg") + "\n")
         lists.append(list_path)
     return lists
+
+
+def load_classifier_list(list_file: str, class_names) -> List[Sample]:
+    """Classifier training list: one image path per line, label inferred by
+    class-name substring match on the path — fill_truth's convention
+    (src/data.c:504, used by examples/classifier.c train_classifier).
+    Returns Samples whose single pseudo-box carries the label in column 4
+    so the detection loader machinery (threading, augmentation) is reused;
+    the classifier trainer reads labels from truths[:, 0, 4]."""
+    samples = []
+    with open(list_file) as f:
+        for line in f:
+            path = line.strip()
+            if not path:
+                continue
+            hits = [i for i, n in enumerate(class_names) if n in path]
+            if len(hits) != 1:
+                raise ValueError(
+                    f"too many or too few labels ({len(hits)}) for {path} "
+                    "— exactly one class name must appear in the path")
+            box = np.asarray([[0.5, 0.5, 1.0, 1.0, hits[0]]], np.float32)
+            samples.append(Sample(path, box))
+    return samples

@@ -61,6 +61,42 @@ def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
     return evaluate_detections(dets, gts, cfg.num_classes)
 
 
+def evaluate_classifier(cfg, state, samples, *, limit=0):
+    """Top-1 accuracy of the in-training classifier on (path, label)
+    samples — the classifier analogue of evaluate_model (the reference's
+    validate_classifier_single, examples/classifier.c)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from yolo_tensorflow_tpu import config as C
+    from yolo_tensorflow_tpu.io.weights import fold_params
+    from yolo_tensorflow_tpu.models import engine
+    from yolo_tensorflow_tpu.pipeline import normalize_images
+
+    specs = C.build_specs(cfg)
+    folded = fold_params(jax.tree.map(np.asarray, state.params),
+                         jax.tree.map(np.asarray, state.batch_stats),
+                         cfg.bn_eps)
+
+    @jax.jit
+    def probs_fn(p, images):
+        x = normalize_images(images, cfg, jnp.float32)
+        dets, _ = engine.apply(specs, p, x, bn_eps=cfg.bn_eps)
+        (probs, _), = dets
+        return probs
+
+    if limit:
+        samples = samples[:limit]
+    correct = 0
+    s = cfg.input_size
+    for smp in samples:
+        img = cv2.cvtColor(cv2.imread(smp.image_path), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+        probs = np.asarray(probs_fn(folded, img[None]))[0]
+        correct += int(np.argmax(probs)) == int(smp.boxes[0, 4])
+    return correct / max(len(samples), 1)
+
+
 def run_training(args):
     import jax
     from yolo_tensorflow_tpu import config as C
@@ -74,11 +110,23 @@ def run_training(args):
     overrides = {}
     if getattr(args, "input_size", None):
         overrides["input_size"] = args.input_size
+    if getattr(args, "names", None):
+        with open(args.names) as f:
+            overrides["custom_classes"] = tuple(
+                l.strip() for l in f if l.strip())
     cfg = C.get_config(args.model, **overrides)
-    samples = load_darknet_list(args.list)
+    if cfg.head == 0:
+        # classifier training (examples/classifier.c train_classifier):
+        # labels from class-name substring match on the path (fill_truth)
+        from yolo_tensorflow_tpu.data.datasets import load_classifier_list
+        samples = load_classifier_list(args.list, cfg.classes)
+        val_samples = (load_classifier_list(args.val_list, cfg.classes)
+                       if getattr(args, "val_list", None) else None)
+    else:
+        samples = load_darknet_list(args.list)
+        val_samples = (load_darknet_list(args.val_list)
+                       if getattr(args, "val_list", None) else None)
     print(f"{len(samples)} training samples")
-    val_samples = (load_darknet_list(args.val_list)
-                   if getattr(args, "val_list", None) else None)
     eval_every = getattr(args, "eval_every", 0) or 0
     det_cache = []
 
@@ -133,27 +181,39 @@ def run_training(args):
                 if args.multiscale and step_i % 10 == 0:
                     size = int(rng.choice(MULTISCALE_SIZES))
                     loader.set_size(size)
+                if cfg.head == 0:
+                    truths = truths[:, 0, 4].astype(np.int32)
                 im, tr = M.shard_batch(mesh, images, truths)
                 state, metrics = step_for(images.shape[1])(state, im, tr)
                 step_i += 1
                 if step_i % args.log_every == 0:
                     dt = (time.time() - t_last) / args.log_every
                     t_last = time.time()
+                    if cfg.head == 0:
+                        extra = f"acc {float(metrics.get('accuracy', 0)):.3f}"
+                    else:
+                        extra = (f"avg_iou {float(metrics.get('avg_iou', 0)):.3f} "
+                                 f"obj {float(metrics.get('avg_obj', 0)):.3f}")
                     print(f"step {step_i}: cost {float(metrics['cost']):.3f} "
-                          f"avg_iou {float(metrics.get('avg_iou', 0)):.3f} "
-                          f"obj {float(metrics.get('avg_obj', 0)):.3f} "
+                          f"{extra} "
                           f"{args.batch_size/dt:.1f} img/s size {images.shape[1]}",
                           flush=True)
                 if step_i % args.save_every == 0:
                     path = ckpt.save_train_state(state, args.ckpt_dir, step_i)
                     print(f"saved {path}")
                 if val_samples and eval_every and step_i % eval_every == 0:
-                    m = evaluate_model(cfg, C.build_specs(cfg), state,
-                                       val_samples, limit=200,
-                                       detector_cache=det_cache)
-                    print(f"step {step_i}: val mAP@0.5 = {m['map']:.4f} "
-                          f"({m['num_classes_evaluated']} classes)",
-                          flush=True)
+                    if cfg.head == 0:
+                        acc = evaluate_classifier(cfg, state, val_samples,
+                                                  limit=200)
+                        print(f"step {step_i}: val top-1 = {acc:.4f}",
+                              flush=True)
+                    else:
+                        m = evaluate_model(cfg, C.build_specs(cfg), state,
+                                           val_samples, limit=200,
+                                           detector_cache=det_cache)
+                        print(f"step {step_i}: val mAP@0.5 = {m['map']:.4f} "
+                              f"({m['num_classes_evaluated']} classes)",
+                              flush=True)
                 if step_i >= args.steps:
                     break
     ckpt.save_train_state(state, args.ckpt_dir, step_i)
