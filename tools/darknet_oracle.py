@@ -57,6 +57,8 @@ def build_oracle() -> str:
     text = open(mk).read().replace("GPU=1", "GPU=0").replace("CUDNN=1",
                                                              "CUDNN=0")
     open(mk, "w").write(text)
+    for d in ("obj", "backup", "results"):  # Makefile assumes these exist
+        os.makedirs(os.path.join(BUILD_DIR, d), exist_ok=True)
     subprocess.run(["make", "-j8", "libdarknet.so"], cwd=BUILD_DIR,
                    check=True, capture_output=True)
     return lib
@@ -95,6 +97,15 @@ class Oracle:
     def predict_raw(self, net, image_u8: np.ndarray, out_size: int) -> np.ndarray:
         """network_predict: returns the final layer's output (CHW order)."""
         data = self.to_darknet_input(image_u8)
+        ptr = self.lib.network_predict(
+            net, data.ctypes.data_as(ct.POINTER(ct.c_float)))
+        return np.ctypeslib.as_array(ptr, shape=(out_size,)).copy()
+
+    def predict_flat(self, net, data: np.ndarray, out_size: int) -> np.ndarray:
+        """network_predict on a raw float vector — recurrent / flat-input
+        nets ([net] inputs=K time_steps=T feed T*K floats, step-major,
+        src/network.c:497)."""
+        data = np.ascontiguousarray(data, dtype=np.float32).ravel()
         ptr = self.lib.network_predict(
             net, data.ctypes.data_as(ct.POINTER(ct.c_float)))
         return np.ctypeslib.as_array(ptr, shape=(out_size,)).copy()

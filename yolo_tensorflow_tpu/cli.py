@@ -432,6 +432,42 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_generate(args):
+    """Char-RNN text generation (examples/rnn.c test_char_rnn): the whole
+    sampling loop runs as one on-device lax.scan."""
+    from yolo_tensorflow_tpu import textgen
+    specs, params, inputs = textgen.load_charrnn(args.cfg, args.weights)
+    text = textgen.generate(specs, params, inputs, seed_text=args.seed_text,
+                            n=args.n, temperature=args.temperature,
+                            rng_seed=args.rng_seed)
+    print(text)
+
+
+def cmd_rnn_train(args):
+    """Char-RNN training (examples/rnn.c train_char_rnn): next-byte CE on
+    random windows of a raw text file."""
+    from yolo_tensorflow_tpu import textgen
+    from yolo_tensorflow_tpu.io import weights as W
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+    with open(args.text, "rb") as f:
+        text = f.read()
+    specs, params, vocab = textgen.train_char_rnn(
+        text, args.cfg, steps_per_seq=args.steps, batch=args.batch,
+        iters=args.iters, lr=args.lr, seed=args.rng_seed)
+    if args.out:
+        # note: a batch_normalize cfg cannot round-trip folded params to
+        # .weights (darknet stores raw BN stats) — save raises in that case
+        raw_specs, _, _ = parse_cfg_file(args.cfg)
+        W.save_darknet_weights(raw_specs, 1, params, {}, args.out,
+                               in_channels=vocab)
+        print(f"wrote {args.out}")
+    if args.sample:
+        print(textgen.generate(specs, params, vocab, seed_text="",
+                               n=args.sample,
+                               temperature=args.temperature,
+                               rng_seed=args.rng_seed))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="yolo_tensorflow_tpu")
     ap.add_argument("--platform", choices=("cpu", "tpu", "axon"),
@@ -592,6 +628,35 @@ def main(argv=None):
     p.add_argument("--weights", required=True)
     p.add_argument("--out", required=True, help="output path stem")
     p.set_defaults(fn=cmd_export_darknet)
+
+    p = sub.add_parser("generate",
+                       help="char-RNN text generation ([rnn]/[gru]/[lstm] "
+                            "cfgs; examples/rnn.c test_char_rnn)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--weights", help="darknet .weights (random init if "
+                                     "omitted)")
+    p.add_argument("-n", type=int, default=200, help="bytes to sample")
+    p.add_argument("--seed-text", default="", help="priming text")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--rng-seed", type=int, default=0)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("rnn-train",
+                       help="char-RNN training on a raw text file "
+                            "(examples/rnn.c train_char_rnn)")
+    p.add_argument("--cfg", required=True)
+    p.add_argument("--text", required=True, help="raw training text file")
+    p.add_argument("--steps", type=int, default=64,
+                   help="BPTT window (net time_steps)")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--out", help="write trained darknet .weights here")
+    p.add_argument("--sample", type=int, default=0,
+                   help="sample N bytes after training")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--rng-seed", type=int, default=0)
+    p.set_defaults(fn=cmd_rnn_train)
 
     args = ap.parse_args(argv)
     if args.platform:

@@ -21,15 +21,25 @@ from yolo_tensorflow_tpu import config as C
 from yolo_tensorflow_tpu.models import specs as S
 
 
-def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
+def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1,
+                 inputs: Optional[int] = None, time_steps: int = 1) -> str:
+    """Emit a darknet .cfg for ``specs``. ``inputs`` switches the [net]
+    section to flat-input form (darknet's ``inputs=``, parse_net_options)
+    for recurrent/connected-first nets; ``time_steps`` emits the net-level
+    recurrent step count (src/parser.c:650)."""
     specs = C.build_specs(cfg) if specs is None else specs
     out: List[str] = []
     out.append("[net]")
     out.append(f"batch={batch}")
     out.append("subdivisions=1")
-    out.append(f"height={cfg.input_size}")
-    out.append(f"width={cfg.input_size}")
-    out.append("channels=3")
+    if inputs is not None:
+        out.append(f"inputs={inputs}")
+    else:
+        out.append(f"height={cfg.input_size}")
+        out.append(f"width={cfg.input_size}")
+        out.append("channels=3")
+    if time_steps != 1:
+        out.append(f"time_steps={time_steps}")
     out.append("momentum=0.9\ndecay=0.0005")
     out.append("learning_rate=0.001\nburn_in=1000\nmax_batches=500200")
     out.append("policy=steps\nsteps=400000,450000\nscales=.1,.1")
@@ -92,6 +102,35 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1) -> str:
             out.append("[connected]")
             out.append(f"output={spec.units}")
             out.append(f"activation={'leaky' if spec.act == 'leaky' else 'linear'}")
+        elif isinstance(spec, S.Rnn):
+            out.append("[rnn]")
+            if spec.bn:
+                out.append("batch_normalize=1")
+            out.append(f"output={spec.output}")
+            out.append(f"activation={spec.act}")
+            if spec.shortcut:
+                out.append("shortcut=1")
+        elif isinstance(spec, S.Gru):
+            out.append("[gru]")
+            if spec.bn:
+                out.append("batch_normalize=1")
+            out.append(f"output={spec.output}")
+            if spec.tanh:
+                out.append("tanh=1")
+        elif isinstance(spec, S.Lstm):
+            out.append("[lstm]")
+            if spec.bn:
+                out.append("batch_normalize=1")
+            out.append(f"output={spec.output}")
+        elif isinstance(spec, S.Crnn):
+            out.append("[crnn]")
+            if spec.bn:
+                out.append("batch_normalize=1")
+            out.append(f"output_filters={spec.output_filters}")
+            out.append(f"hidden_filters={spec.hidden_filters}")
+            out.append(f"activation={spec.act}")
+            if spec.shortcut:
+                out.append("shortcut=1")
         elif isinstance(spec, S.Dropout):
             out.append("[dropout]")
             out.append(f"probability={spec.rate}")
@@ -193,6 +232,12 @@ def _parse_sections(text: str) -> List[Tuple[str, Dict[str, str]]]:
     return sections
 
 
+# spec types whose output is already flat/2D — no TransposeFlatten needed
+# before a following [connected]/[rnn]/[gru]/[lstm]
+_FLAT2D = (S.Dense, S.Dropout, S.TransposeFlatten, S.Rnn, S.Gru, S.Lstm,
+           S.GlobalAvgPool)
+
+
 def parse_cfg(text: str):
     """Parse a darknet ``.cfg`` into (specs, net_options, head_options) —
     the src/parser.c:730 parse_network_cfg equivalent. Any cfg built from
@@ -263,12 +308,33 @@ def parse_cfg(text: str):
         elif name == "connected":
             # darknet flattens CHW implicitly; our NHWC engine needs the
             # explicit marker before the first connected layer
-            if not b._specs or not isinstance(
-                    b._specs[-1], (S.Dense, S.Dropout, S.TransposeFlatten)):
+            if not b._specs or not isinstance(b._specs[-1], _FLAT2D):
                 b.transpose_flatten()
             act = opt.get("activation", "logistic")
             idx = b.dense(geti(opt, "output", 1),
                           act="leaky" if act == "leaky" else "linear")
+        elif name in ("rnn", "gru", "lstm"):
+            # recurrent layers consume flat CHW rows like [connected]
+            if not b._specs or not isinstance(b._specs[-1], _FLAT2D):
+                b.transpose_flatten()
+            output = geti(opt, "output", 1)
+            bn = geti(opt, "batch_normalize", 0) == 1
+            if name == "rnn":
+                idx = b.add(S.Rnn(output,
+                                  act=opt.get("activation", "logistic"),
+                                  bn=bn,
+                                  shortcut=geti(opt, "shortcut", 0) == 1))
+            elif name == "gru":
+                idx = b.add(S.Gru(output, bn=bn,
+                                  tanh=geti(opt, "tanh", 0) == 1))
+            else:
+                idx = b.add(S.Lstm(output, bn=bn))
+        elif name == "crnn":
+            idx = b.add(S.Crnn(geti(opt, "output_filters", 1),
+                               geti(opt, "hidden_filters", 1),
+                               act=opt.get("activation", "logistic"),
+                               bn=geti(opt, "batch_normalize", 0) == 1,
+                               shortcut=geti(opt, "shortcut", 0) == 1))
         elif name == "dropout":
             idx = b.dropout(getf(opt, "probability", 0.5))
         elif name in ("yolo", "region", "detection"):

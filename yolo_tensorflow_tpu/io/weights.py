@@ -84,6 +84,76 @@ def fold_bn(w_hwio, gamma, beta, mean, var, eps, formula: str = "darknet"):
     return w.astype(np.float32), b.astype(np.float32)
 
 
+def _recurrent_plan(spec, in_dim: int, in_c: int):
+    """Sublayer file order for recurrent layers — exactly the
+    save_weights_upto order (src/parser.c:1021-1050): RNN input/self/output,
+    LSTM wi,wf,wo,wg,ui,uf,uo,ug, GRU wz,wr,wh,uz,ur,uh, CRNN conv
+    input/self/output. Returns [(name, kind, fan_in, units)] with kind
+    'fc' (connected) or 'conv' (3x3 conv, fan_in = input channels)."""
+    if isinstance(spec, S.Rnn):
+        o = spec.output
+        return [("input", "fc", in_dim, o), ("self", "fc", o, o),
+                ("output", "fc", o, o)]
+    if isinstance(spec, S.Lstm):
+        o = spec.output
+        return [(n, "fc", o if n[0] == "w" else in_dim, o)
+                for n in ("wi", "wf", "wo", "wg", "ui", "uf", "uo", "ug")]
+    if isinstance(spec, S.Gru):
+        o = spec.output
+        return [(n, "fc", o if n[0] == "w" else in_dim, o)
+                for n in ("wz", "wr", "wh", "uz", "ur", "uh")]
+    if isinstance(spec, S.Crnn):
+        hf, of = spec.hidden_filters, spec.output_filters
+        return [("input", "conv", in_c, hf), ("self", "conv", hf, hf),
+                ("output", "conv", hf, of)]
+    raise TypeError(spec)
+
+
+def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula):
+    """One connected sublayer from the stream (load_connected_weights,
+    src/parser.c: biases, weights (out,in) row-major, then BN
+    scales/mean/var). Returns (sub_params, sub_stats|None, ptr)."""
+    bias, ptr = _take(buf, ptr, units)
+    flat, ptr = _take(buf, ptr, units * fan_in)
+    w = np.ascontiguousarray(flat.reshape(units, fan_in).T, np.float32)
+    if not bn:
+        return {"w": w, "b": bias.copy()}, None, ptr
+    gamma, ptr = _take(buf, ptr, units)
+    mean, ptr = _take(buf, ptr, units)
+    var, ptr = _take(buf, ptr, units)
+    if fold:
+        if bn_formula == "darknet":
+            inv = gamma / (np.sqrt(var) + 1e-6)
+        else:
+            inv = gamma / np.sqrt(var + 1e-5)
+        return {"w": (w * inv[None, :]).astype(np.float32),
+                "b": (bias - mean * inv).astype(np.float32)}, None, ptr
+    return ({"w": w, "gamma": gamma.copy(), "beta": bias.copy()},
+            {"mean": mean.copy(), "var": var.copy()}, ptr)
+
+
+def _read_conv_sub(buf, ptr, cin, cout, k, bn, fold, bn_eps, bn_formula):
+    """One conv sublayer (load_convolutional_weights order)."""
+    if bn:
+        beta, ptr = _take(buf, ptr, cout)
+        gamma, ptr = _take(buf, ptr, cout)
+        mean, ptr = _take(buf, ptr, cout)
+        var, ptr = _take(buf, ptr, cout)
+    else:
+        bias, ptr = _take(buf, ptr, cout)
+    flat, ptr = _take(buf, ptr, cout * cin * k * k)
+    w = flat.reshape(cout, cin, k, k).transpose(2, 3, 1, 0)
+    if bn:
+        if fold:
+            wf, bf = fold_bn(w, gamma, beta, mean, var, bn_eps, bn_formula)
+            return {"w": wf, "b": bf}, None, ptr
+        return ({"w": np.ascontiguousarray(w, np.float32),
+                 "gamma": gamma.copy(), "beta": beta.copy()},
+                {"mean": mean.copy(), "var": var.copy()}, ptr)
+    return ({"w": np.ascontiguousarray(w, np.float32), "b": bias.copy()},
+            None, ptr)
+
+
 def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                          header_ints: Optional[int] = None,
                          bn_eps: float = 1e-5, fold: bool = True,
@@ -182,6 +252,25 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                 params[layer_key(i)] = {
                     "w": np.ascontiguousarray(w, np.float32),
                     "b": bias.copy()}
+        elif isinstance(spec, S.RECURRENT):
+            in_dim = prev[1] if len(prev) == 2 else 0
+            in_c = prev[3] if len(prev) == 4 else 0
+            ps, sts = {}, {}
+            for name, kind, fan_in, units in _recurrent_plan(
+                    spec, in_dim, in_c):
+                if kind == "fc":
+                    sub, st, ptr = _read_fc(buf, ptr, fan_in, units,
+                                            spec.bn, fold, bn_formula)
+                else:
+                    sub, st, ptr = _read_conv_sub(buf, ptr, fan_in, units, 3,
+                                                  spec.bn, fold, bn_eps,
+                                                  bn_formula)
+                ps[name] = sub
+                if st is not None:
+                    sts[name] = st
+            params[layer_key(i)] = ps
+            if sts:
+                batch_stats[layer_key(i)] = sts
         prev = shapes[i]
 
     if ptr != buf.size:
@@ -239,6 +328,37 @@ def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
                 else:
                     fp.write(p["b"].tobytes())
                 fp.write(p["w"].transpose(2, 3, 0, 1).tobytes())  # ->IOHW
+            elif isinstance(spec, S.RECURRENT):
+                in_dim = prev[1] if len(prev) == 2 else 0
+                in_c = prev[3] if len(prev) == 4 else 0
+                subs = params[key]
+                substs = batch_stats.get(key, {}) if batch_stats else {}
+                for name, kind, fan_in, units in _recurrent_plan(
+                        spec, in_dim, in_c):
+                    p = {k: np.asarray(v, np.float32)
+                         for k, v in subs[name].items()}
+                    if spec.bn and "gamma" not in p:
+                        raise ValueError(
+                            f"{key}/{name}: cannot serialize folded BN "
+                            "back to .weights")
+                    st = {k: np.asarray(v, np.float32)
+                          for k, v in substs.get(name, {}).items()}
+                    if kind == "fc":
+                        # connected order: bias, weights, then BN
+                        fp.write((p["beta"] if spec.bn else p["b"]).tobytes())
+                        fp.write(p["w"].T.tobytes())  # (In,Out)->(Out,In)
+                        if spec.bn:
+                            for arr in (p["gamma"], st["mean"], st["var"]):
+                                fp.write(arr.tobytes())
+                    else:
+                        # conv order: bias/beta, BN, then weights
+                        if spec.bn:
+                            for arr in (p["beta"], p["gamma"],
+                                        st["mean"], st["var"]):
+                                fp.write(arr.tobytes())
+                        else:
+                            fp.write(p["b"].tobytes())
+                        fp.write(p["w"].transpose(3, 2, 0, 1).tobytes())
             prev = shapes[i]
 
 
@@ -253,17 +373,30 @@ def fold_params(params, batch_stats, bn_eps: float,
     training for small-variance channels. Pass "darknet" only when the
     params came from a darknet .weights file (load_darknet_weights already
     folds those itself with the right formula)."""
+    def fold_one(p, st):
+        if "gamma" not in p:
+            return {k: np.asarray(v) for k, v in p.items()}
+        w = np.asarray(p["w"])
+        gamma, beta = np.asarray(p["gamma"]), np.asarray(p["beta"])
+        mean, var = np.asarray(st["mean"]), np.asarray(st["var"])
+        if w.ndim == 2:   # connected sublayer (In, Out)
+            if bn_formula == "darknet":
+                inv = gamma / (np.sqrt(var) + 1e-6)
+            else:
+                inv = gamma / np.sqrt(var + bn_eps)
+            return {"w": (w * inv[None, :]).astype(np.float32),
+                    "b": (beta - mean * inv).astype(np.float32)}
+        w2, b2 = fold_bn(w, gamma, beta, mean, var, bn_eps, bn_formula)
+        return {"w": w2, "b": b2}
+
     out = {}
     for key, p in params.items():
-        if "gamma" in p:
-            w, b = fold_bn(np.asarray(p["w"]), np.asarray(p["gamma"]),
-                           np.asarray(p["beta"]),
-                           np.asarray(batch_stats[key]["mean"]),
-                           np.asarray(batch_stats[key]["var"]), bn_eps,
-                           bn_formula)
-            out[key] = {"w": w, "b": b}
-        else:
-            out[key] = {k: np.asarray(v) for k, v in p.items()}
+        if "w" in p:
+            out[key] = fold_one(p, batch_stats.get(key, {}))
+        else:  # recurrent layer: one nested level of sublayers
+            st = batch_stats.get(key, {})
+            out[key] = {name: fold_one(sub, st.get(name, {}))
+                        for name, sub in p.items()}
     return out
 
 
@@ -289,5 +422,15 @@ def param_count(specs, input_size: int, *, in_channels: int = 3,
         elif isinstance(spec, S.Deconv):
             total += spec.filters * (4 if (spec.bn and with_bn) else 1)
             total += spec.filters * prev[3] * spec.size * spec.size
+        elif isinstance(spec, S.RECURRENT):
+            in_dim = prev[1] if len(prev) == 2 else 0
+            in_c = prev[3] if len(prev) == 4 else 0
+            for name, kind, fan_in, units in _recurrent_plan(
+                    spec, in_dim, in_c):
+                per = 4 if (spec.bn and with_bn) else 1
+                if kind == "fc":
+                    total += units * per + fan_in * units
+                else:
+                    total += units * per + fan_in * units * 9
         prev = shapes[i]
     return total

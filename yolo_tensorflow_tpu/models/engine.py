@@ -33,7 +33,8 @@ def layer_key(i: int) -> str:
 
 def apply(specs, params, x, *, train: bool = False, batch_stats=None,
           bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None,
-          bn_formula: str = "darknet"):
+          bn_formula: str = "darknet", time_steps: int = 1,
+          rec_state=None):
     """Run the network.
 
     Args:
@@ -50,15 +51,24 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         (gamma/(sqrt(var)+1e-6), what .weights-era stats expect) or 'tf'
         (gamma*rsqrt(var+eps), matching batch_norm_train — use for
         natively-trained params evaluated unfolded so train/deploy agree).
+      time_steps: recurrent step count (darknet's net-level ``time_steps``,
+        src/parser.c:650). Rows are step-major: x's leading dim is B*T.
+      rec_state: {layer_key: state} initial recurrent state; None = zeros
+        everywhere (a freshly loaded darknet net). The final state of every
+        recurrent layer is returned in aux["rec_state"] so stateful
+        generation threads it functionally (darknet mutates l.state
+        in place instead).
 
     Returns:
       (detections, aux): ``detections`` is a list of (feature_map, Detect spec)
       for every Detect marker, in spec order; ``aux`` is a dict with
-      "batch_stats" updates when train=True.
+      "batch_stats" updates when train=True and "rec_state" when the spec
+      has recurrent layers.
     """
     outputs = []
     detections = []
     new_stats: Dict[str, Any] = {}
+    rec_out: Dict[str, Any] = {}
 
     def fetch(ref, i):
         r = S.resolve_ref(ref, i)
@@ -169,11 +179,35 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             cur = L.l2norm_channels(cur)
         elif isinstance(spec, S.Logistic):
             cur = jax.nn.sigmoid(cur.astype(jnp.float32)).astype(cur.dtype)
+        elif isinstance(spec, S.RECURRENT):
+            from yolo_tensorflow_tpu.ops import recurrent as R
+            key = layer_key(i)
+            p = params[key]
+            st = (batch_stats or {}).get(key)
+            init = None if rec_state is None else rec_state.get(key)
+            kw = dict(steps=time_steps, train=train, stats=st,
+                      bn_eps=bn_eps, bn_formula=bn_formula)
+            if isinstance(spec, S.Rnn):
+                cur, h_T, upd = R.rnn_forward(
+                    cur, p, init, act=spec.act, shortcut=spec.shortcut, **kw)
+            elif isinstance(spec, S.Gru):
+                cur, h_T, upd = R.gru_forward(cur, p, init,
+                                              tanh=spec.tanh, **kw)
+            elif isinstance(spec, S.Lstm):
+                cur, h_T, upd = R.lstm_forward(cur, p, init, **kw)
+            else:
+                cur, h_T, upd = R.crnn_forward(
+                    cur, p, init, act=spec.act, shortcut=spec.shortcut, **kw)
+            rec_out[key] = h_T
+            if upd is not None:
+                new_stats[key] = upd
         else:  # pragma: no cover
             raise TypeError(f"unknown spec {spec!r}")
         outputs.append(cur)
 
     aux = {"batch_stats": new_stats} if train else {}
+    if rec_out:
+        aux["rec_state"] = rec_out
     return detections, aux
 
 
@@ -249,6 +283,10 @@ def infer_shapes(specs, input_shape) -> list:
             cur = (b, oh, ow, spec.filters)
         elif isinstance(spec, S.Crop):
             cur = (cur[0], spec.crop_height, spec.crop_width, cur[3])
+        elif isinstance(spec, (S.Rnn, S.Gru, S.Lstm)):
+            cur = (cur[0], spec.output)
+        elif isinstance(spec, S.Crnn):
+            cur = (cur[0], cur[1], cur[2], spec.output_filters)
         elif isinstance(spec, (S.Dropout, S.Detect, S.Softmax, S.LRN,
                                S.L2Norm, S.Logistic)):
             pass
@@ -276,6 +314,19 @@ def count_flops(specs, input_shape) -> float:
             _, oh, ow, co = shapes[i]
             total += 2.0 * prev[1] * prev[2] * co * prev[3] \
                 * spec.size * spec.size
+        elif isinstance(spec, S.Rnn):
+            o = spec.output
+            total += 2.0 * (prev[1] * o + 2 * o * o)
+        elif isinstance(spec, S.Gru):
+            o = spec.output
+            total += 2.0 * (3 * prev[1] * o + 3 * o * o)
+        elif isinstance(spec, S.Lstm):
+            o = spec.output
+            total += 2.0 * (4 * prev[1] * o + 4 * o * o)
+        elif isinstance(spec, S.Crnn):
+            _, oh, ow, _ = shapes[i]
+            hf, of = spec.hidden_filters, spec.output_filters
+            total += 2.0 * oh * ow * 9 * (prev[3] * hf + hf * hf + hf * of)
         prev = shapes[i]
     return total
 
@@ -291,6 +342,41 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
     params, stats = {}, {}
     prev_c = input_shape[3] if len(input_shape) == 4 else input_shape[1]
     prev = tuple(input_shape)
+
+    def _connected_init(rng, fan_in, units):
+        """make_connected_layer: scale*rand_uniform(-1,1), scale=sqrt(2/in);
+        returns (sub_params, sub_stats_or_None)."""
+        w = jax.random.uniform(rng, (fan_in, units), dtype, -1.0, 1.0) \
+            * np.sqrt(2.0 / fan_in)
+        return w
+
+    def _rec_sub(rng, fan_in, units, bn, conv_c=None):
+        if conv_c is not None:
+            n = 9 * conv_c
+            w = jax.random.normal(rng, (3, 3, conv_c, units), dtype) \
+                * np.sqrt(2.0 / n)
+        else:
+            w = _connected_init(rng, fan_in, units)
+        if bn and not folded:
+            p = {"w": w, "gamma": jnp.ones((units,), dtype),
+                 "beta": jnp.zeros((units,), dtype)}
+            st = {"mean": jnp.zeros((units,), dtype),
+                  "var": jnp.ones((units,), dtype)}
+            return p, st
+        return {"w": w, "b": jnp.zeros((units,), dtype)}, None
+
+    def _rec_init(rng, plan):
+        """plan: {name: (fan_in, units, bn, conv_c)}; returns nested
+        (params, stats) dicts in .weights file order."""
+        ps, sts = {}, {}
+        for name, (fan_in, units, bn, conv_c) in plan.items():
+            rng, sub = jax.random.split(rng)
+            p, st = _rec_sub(sub, fan_in, units, bn, conv_c)
+            ps[name] = p
+            if st is not None:
+                sts[name] = st
+        return ps, sts
+
     for i, spec in enumerate(specs):
         if isinstance(spec, S.Conv):
             rng, sub = jax.random.split(rng)
@@ -341,5 +427,30 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
             else:
                 p["b"] = jnp.zeros((spec.filters,), dtype)
             params[layer_key(i)] = p
+        elif isinstance(spec, S.RECURRENT):
+            rng, sub = jax.random.split(rng)
+            if isinstance(spec, S.Rnn):
+                o = spec.output
+                plan = {"input": (prev[1], o, spec.bn, None),
+                        "self": (o, o, spec.bn, None),
+                        "output": (o, o, spec.bn, None)}
+            elif isinstance(spec, S.Gru):
+                o = spec.output
+                plan = {n: (o if n[0] == "w" else prev[1], o, spec.bn, None)
+                        for n in ("wz", "wr", "wh", "uz", "ur", "uh")}
+            elif isinstance(spec, S.Lstm):
+                o = spec.output
+                plan = {n: (o if n[0] == "w" else prev[1], o, spec.bn, None)
+                        for n in ("wi", "wf", "wo", "wg",
+                                  "ui", "uf", "uo", "ug")}
+            else:  # Crnn
+                hf, of = spec.hidden_filters, spec.output_filters
+                plan = {"input": (0, hf, spec.bn, prev[3]),
+                        "self": (0, hf, spec.bn, hf),
+                        "output": (0, of, spec.bn, hf)}
+            p, st = _rec_init(sub, plan)
+            params[layer_key(i)] = p
+            if st:
+                stats[layer_key(i)] = st
         prev = shapes[i]
     return params, stats

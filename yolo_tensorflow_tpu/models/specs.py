@@ -208,13 +208,63 @@ class Logistic:
     regressor heads."""
 
 
+@dataclass(frozen=True)
+class Rnn:
+    """Vanilla recurrent layer — darknet's [rnn] (src/rnn_layer.c:29-128):
+    three connected sublayers (input/self/output), each with the layer's
+    activation and optional batch norm; the time axis is folded into the
+    batch (step-major) and the step count comes from the net-level
+    ``time_steps`` option, passed to engine.apply as ``time_steps``."""
+
+    output: int
+    act: str = "logistic"    # parse_rnn's default activation
+    bn: bool = False
+    shortcut: bool = False   # state += instead of state = (rnn_layer.c:112)
+
+
+@dataclass(frozen=True)
+class Gru:
+    """GRU layer — darknet's [gru] (src/gru_layer.c): six LINEAR connected
+    sublayers (wz/wr/wh on state, uz/ur/uh on input); darknet's gate
+    convention keeps the OLD state with weight z. ``tanh`` selects the
+    candidate activation (parse_gru: tanh=0 -> logistic)."""
+
+    output: int
+    bn: bool = False
+    tanh: bool = False
+
+
+@dataclass(frozen=True)
+class Lstm:
+    """LSTM layer — darknet's [lstm] (src/lstm_layer.c): eight LINEAR
+    connected sublayers (w* on state, u* on input), standard gates."""
+
+    output: int
+    bn: bool = False
+
+
+@dataclass(frozen=True)
+class Crnn:
+    """Convolutional RNN — darknet's [crnn] (src/crnn_layer.c): the [rnn]
+    recurrence with 3x3 stride-1 pad-1 conv sublayers; the hidden state is
+    a (H, W, hidden_filters) feature map."""
+
+    output_filters: int
+    hidden_filters: int
+    act: str = "logistic"    # parse_crnn's default activation
+    bn: bool = False
+    shortcut: bool = False
+
+
+RECURRENT = (Rnn, Gru, Lstm, Crnn)
+
 SpecT = (Conv, MaxPool, Route, Shortcut, Reorg, Upsample,
          TransposeFlatten, Dense, Dropout, GlobalAvgPool, Softmax, Detect,
-         Local, Deconv, Crop, LRN, L2Norm, Logistic)
+         Local, Deconv, Crop, LRN, L2Norm, Logistic) + RECURRENT
 
 
 def has_params(spec) -> bool:
-    return isinstance(spec, (Conv, Dense, Local, Deconv))
+    return isinstance(spec, (Conv, Dense, Local, Deconv) + RECURRENT)
 
 
 class SpecBuilder:

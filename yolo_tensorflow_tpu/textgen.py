@@ -1,0 +1,198 @@
+"""Char-RNN application layer — the examples/rnn.c equivalent.
+
+The reference's darknet binary ships a character-level RNN driver
+(examples/rnn.c): ``train_char_rnn`` trains [rnn]/[gru]/[lstm] nets on raw
+bytes (one-hot input, next-byte target, get_rnn_data:127) and
+``test_char_rnn`` generates text by feeding one character per
+``network_predict`` call, relying on the layers' persistent ``l.state``
+(rnn_layer.c) and sampling from the tempered softmax (``sample_array``,
+temperature folded into the softmax layer).
+
+Here both run on the functional engine: generation threads the recurrent
+state explicitly (engine.apply's ``rec_state``) through a jitted
+single-step function and runs the whole sampling loop as one
+``lax.scan`` — the TPU-native form of the C byte-at-a-time loop: one
+compiled program, no host round-trip per character. Training uses the
+same step-major (T, B) layout darknet's get_rnn_data builds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tensorflow_tpu.io import weights as W
+from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+from yolo_tensorflow_tpu.models import engine, specs as S
+
+
+def _with_output_marker(specs):
+    """Char-rnn cfgs have no [yolo]-style head, so parse_cfg emits no
+    Detect marker; append one so engine.apply exposes the net output."""
+    if any(isinstance(s, S.Detect) for s in specs):
+        return specs
+    return tuple(specs) + (S.Detect(()),)
+
+
+def load_charrnn(cfg_path: str, weights_path: Optional[str] = None):
+    """Parse a recurrent .cfg (+ optional .weights) -> (specs, params,
+    inputs). BN is folded at load (inference form), matching the detect
+    pipelines."""
+    specs, net, _ = parse_cfg_file(cfg_path)
+    inputs = int(net.get("inputs", 0))
+    if not inputs:
+        raise ValueError("char-rnn cfg needs [net] inputs=<vocab>")
+    if weights_path:
+        params, _, _ = W.load_darknet_weights(specs, 1, weights_path,
+                                              in_channels=inputs)
+    else:
+        params, stats = engine.init_params(specs, (1, 1, 1, inputs),
+                                           jax.random.PRNGKey(0))
+        params = W.fold_params(params, stats, 1e-5, "darknet")
+    return _with_output_marker(specs), params, inputs
+
+
+def _step_fn(specs, params, inputs: int):
+    """One generation step: (rec_state, char) -> (rec_state', probs)."""
+
+    def step(state, c):
+        x = jax.nn.one_hot(c, inputs)[None, None, None, :]
+        dets, aux = engine.apply(specs, params, x, time_steps=1,
+                                 rec_state=state)
+        probs = dets[-1][0].reshape(-1)[:inputs]
+        return aux["rec_state"], probs
+
+    return step
+
+
+def _zero_state(specs, params, inputs: int):
+    """Initial rec_state pytree (zeros — a freshly loaded darknet net)."""
+    step = _step_fn(specs, params, inputs)
+    state, _ = step(None, jnp.int32(0))  # one eager call for the shapes
+    return jax.tree.map(jnp.zeros_like, state)
+
+
+def generate(specs, params, inputs: int, *, seed_text: str = "",
+             n: int = 100, temperature: float = 1.0,
+             rng_seed: int = 0) -> str:
+    """test_char_rnn (examples/rnn.c): prime on ``seed_text``, then sample
+    ``n`` bytes. Sampling matches the C driver: probabilities below 1e-4
+    are zeroed, the rest tempered (softmax temperature ==
+    p**(1/T) renormalized) and sampled (sample_array).
+
+    The entire sample loop is one lax.scan — carry (rec_state, char, rng).
+    """
+    step = _step_fn(specs, params, inputs)
+    state = _zero_state(specs, params, inputs)
+
+    prime = [ord(c) for c in seed_text]
+    if any(c >= inputs for c in prime):
+        raise ValueError(f"seed byte out of vocab range 0..{inputs - 1}")
+
+    @jax.jit
+    def prime_fn(state, chars):
+        def body(st, c):
+            st, _ = step(st, c)
+            return st, None
+        st, _ = jax.lax.scan(body, state, chars)
+        return st
+
+    if len(prime) > 1:
+        state = prime_fn(state, jnp.asarray(prime[:-1], jnp.int32))
+    last = prime[-1] if prime else 0
+
+    @jax.jit
+    def sample_fn(state, c0, key):
+        def body(carry, _):
+            st, c, k = carry
+            st, probs = step(st, c)
+            probs = jnp.where(probs < 1e-4, 0.0, probs)       # rnn.c:391
+            logp = jnp.where(probs > 0,
+                             jnp.log(probs) / temperature, -jnp.inf)
+            k, sub = jax.random.split(k)
+            nxt = jax.random.categorical(sub, logp)
+            return (st, nxt.astype(jnp.int32), k), nxt
+        (_, _, _), out = jax.lax.scan(body, (state, c0, key), None,
+                                      length=n)
+        return out
+
+    out = sample_fn(state, jnp.int32(last), jax.random.PRNGKey(rng_seed))
+    return seed_text + "".join(chr(int(c) % inputs) for c in np.asarray(out))
+
+
+def batch_text(text: bytes, vocab: int, batch: int, steps: int,
+               rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """get_rnn_data (examples/rnn.c:127): ``batch`` random windows of
+    ``steps+1`` bytes -> one-hot x (steps*batch, vocab) step-major and
+    integer next-byte targets (steps*batch,)."""
+    arr = np.frombuffer(text, dtype=np.uint8)
+    if arr.max(initial=0) >= vocab:
+        arr = arr % vocab
+    offs = rng.integers(0, len(arr) - steps - 1, size=batch)
+    win = np.stack([arr[o:o + steps + 1] for o in offs])  # (B, T+1)
+    x = np.eye(vocab, dtype=np.float32)[win[:, :-1]]      # (B, T, V)
+    x = x.transpose(1, 0, 2).reshape(steps * batch, vocab)  # step-major
+    y = win[:, 1:].T.reshape(-1).astype(np.int32)
+    return x, y
+
+
+def train_char_rnn(text: bytes, cfg_path: str, *, steps_per_seq: int = 64,
+                   batch: int = 32, iters: int = 200, lr: float = 2e-3,
+                   seed: int = 0, log_every: int = 20, log=print):
+    """train_char_rnn (examples/rnn.c): next-byte cross-entropy over random
+    text windows. Returns (specs, folded_params, inputs) ready for
+    generate(). Adam instead of darknet's SGD+momentum (the loop is the
+    parity surface here, not the optimizer — the detection trainer keeps
+    darknet's exact update rule)."""
+    import optax
+
+    specs, net, _ = parse_cfg_file(cfg_path)
+    specs = _with_output_marker(specs)
+    vocab = int(net.get("inputs", 0))
+    if not vocab:
+        raise ValueError("char-rnn cfg needs [net] inputs=<vocab>")
+    params, stats = engine.init_params(
+        specs, (steps_per_seq * batch, 1, 1, vocab), jax.random.PRNGKey(seed))
+
+    has_softmax = any(isinstance(s, S.Softmax) for s in specs)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, st, x, y):
+        dets, aux = engine.apply(specs, p, x, train=True, batch_stats=st,
+                                 time_steps=steps_per_seq, bn_formula="tf")
+        out = dets[-1][0] if dets else None
+        if out is None:
+            raise ValueError("cfg needs a final output layer")
+        if has_softmax:   # engine already applied softmax: CE on log probs
+            logp = jnp.log(jnp.clip(out, 1e-9, 1.0))
+            ce = -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+        else:
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                out, y).mean()
+        return ce, aux["batch_stats"]
+
+    @jax.jit
+    def train_step(p, st, opt_state, x, y):
+        (loss, new_st), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, st, x, y)
+        upd, opt_state = tx.update(g, opt_state, p)
+        p = optax.apply_updates(p, upd)
+        st = jax.tree.map(lambda a, b: 0.9 * a + 0.1 * b, st, new_st) \
+            if new_st else st
+        return p, st, opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for it in range(iters):
+        x, y = batch_text(text, vocab, batch, steps_per_seq, rng)
+        params, stats, opt_state, loss = train_step(
+            params, stats, opt_state, jnp.asarray(x[:, None, None, :]),
+            jnp.asarray(y))
+        if log_every and (it % log_every == 0 or it == iters - 1):
+            log(f"iter {it}: loss {float(loss):.4f}")
+    folded = W.fold_params(jax.tree.map(np.asarray, params),
+                           jax.tree.map(np.asarray, stats), 1e-5, "tf")
+    return specs, folded, vocab
