@@ -109,7 +109,7 @@ def _recurrent_plan(spec, in_dim: int, in_c: int):
     raise TypeError(spec)
 
 
-def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula):
+def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula, bn_eps=1e-5):
     """One connected sublayer from the stream (load_connected_weights,
     src/parser.c: biases, weights (out,in) row-major, then BN
     scales/mean/var). Returns (sub_params, sub_stats|None, ptr)."""
@@ -125,7 +125,7 @@ def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula):
         if bn_formula == "darknet":
             inv = gamma / (np.sqrt(var) + 1e-6)
         else:
-            inv = gamma / np.sqrt(var + 1e-5)
+            inv = gamma / np.sqrt(var + bn_eps)
         return {"w": (w * inv[None, :]).astype(np.float32),
                 "b": (bias - mean * inv).astype(np.float32)}, None, ptr
     return ({"w": w, "gamma": gamma.copy(), "beta": bias.copy()},
@@ -260,7 +260,8 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                     spec, in_dim, in_c):
                 if kind == "fc":
                     sub, st, ptr = _read_fc(buf, ptr, fan_in, units,
-                                            spec.bn, fold, bn_formula)
+                                            spec.bn, fold, bn_formula,
+                                            bn_eps)
                 else:
                     sub, st, ptr = _read_conv_sub(buf, ptr, fan_in, units, 3,
                                                   spec.bn, fold, bn_eps,
