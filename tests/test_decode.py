@@ -218,3 +218,37 @@ def test_tta_detector_end_to_end():
     got = sorted(tuple(round(v, 3) for v in r["box"]) for r in res)
     want = sorted(tuple(round(v, 3) for v in r["box"]) for r in res0)
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["yolov3-tiny", "yolov2-tiny-voc",
+                                  "yolov1-tiny"])
+def test_decode_scored_equals_decode_plus_scoring(name, rng):
+    """decode_scored (the serving fast path: max/argmax on raw logits, no
+    (N, C) activation materialized) must score and label EXACTLY like
+    decode() + batched_nms's factored scoring, for every head family."""
+    cfg = C.get_config(name)
+    specs = C.build_specs(cfg)
+    from yolo_tensorflow_tpu.models import engine as E
+    shapes = E.infer_shapes(specs, (2, cfg.input_size, cfg.input_size, 3))
+    from yolo_tensorflow_tpu.models import specs as S
+    dets = []
+    for i, s in enumerate(specs):
+        if isinstance(s, S.Detect):
+            sh = shapes[i - 1]
+            feat = jnp.asarray(
+                rng.standard_normal((2,) + tuple(sh[1:])) * 2,
+                jnp.float32)
+            dets.append((feat, s))
+
+    boxes_a, conf, probs = heads.decode(dets, cfg)
+    labels_a = np.argmax(np.asarray(probs), axis=-1)
+    scores_a = np.asarray(conf) * np.max(np.asarray(probs), axis=-1)
+
+    boxes_b, scores_b, labels_b = heads.decode_scored(dets, cfg)
+    np.testing.assert_allclose(np.asarray(boxes_b), np.asarray(boxes_a),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(labels_b), labels_a)
+    # v3/v1 are bit-exact (same ops, same elements); v2's softmax-max
+    # shortcut differs only in reduction order
+    np.testing.assert_allclose(np.asarray(scores_b), scores_a,
+                               rtol=2e-6, atol=1e-7)

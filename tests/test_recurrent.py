@@ -291,6 +291,50 @@ activation=linear
         out = capsys.readouterr().out
         assert len(out.rstrip("\n")) == 10
 
+    def test_temper_probs_matches_c_order(self):
+        """Transcription of the C ordering (softmax temperature FIRST,
+        rnn.c 1e-4 floor on the TEMPERED probs): a raw prob of 5e-5
+        survives T=2 tempering but would be wrongly zeroed if the floor
+        ran first."""
+        from yolo_tensorflow_tpu.textgen import temper_probs
+        p = np.full(8, (1 - 5e-5) / 7, np.float32)
+        p[0] = 5e-5
+        got = np.asarray(temper_probs(jnp.asarray(p), 2.0))
+        ref = p ** 0.5
+        ref /= ref.sum()                       # softmax(log(p)/2)
+        ref[ref < 1e-4] = 0                    # then the floor
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+        assert got[0] > 0                      # tail char stays sampleable
+        # and at low temperature the floor DOES fire on tempered values
+        low = np.asarray(temper_probs(jnp.asarray(p), 0.5))
+        assert low[0] == 0.0
+
+    def test_batch_text_bounds(self):
+        from yolo_tensorflow_tpu.textgen import batch_text
+        rng = np.random.default_rng(0)
+        with pytest.raises(ValueError, match="training text has"):
+            batch_text(b"abc", 8, batch=2, steps=8, rng=rng)
+        # len == steps+1: exactly one legal window, must not crash
+        x, y = batch_text(bytes(range(9)), 16, batch=4, steps=8, rng=rng)
+        assert x.shape == (32, 16) and y.shape == (32,)
+        np.testing.assert_array_equal(y[:4], [1, 1, 1, 1])  # only window
+
+    def test_rnn_train_cli_saves_loadable_weights(self, tmp_path, capsys):
+        """rnn-train --out writes UNFOLDED .weights (BN cfg included) that
+        load back and generate — the full train->save->reload loop."""
+        from yolo_tensorflow_tpu import cli, textgen
+        cfg = self._write_cfg(tmp_path)
+        txt = tmp_path / "t.txt"
+        txt.write_bytes(bytes(range(97, 105)) * 50)
+        wout = str(tmp_path / "trained.weights")
+        cli.main(["rnn-train", "--cfg", cfg, "--text", str(txt),
+                  "--steps", "8", "--batch", "4", "--iters", "3",
+                  "--out", wout])
+        assert "wrote" in capsys.readouterr().out
+        specs, params, vocab = textgen.load_charrnn(cfg, wout)
+        out = textgen.generate(specs, params, vocab, n=5, rng_seed=0)
+        assert len(out) == 5
+
 
 # ---------------------------------------------------------------------------
 # C-oracle parity
@@ -368,11 +412,47 @@ def test_crnn_matches_c_oracle(oracle, bn, rng, tmp_path):
     assert rel < 1e-4, rel
 
 
-def test_rnn_shortcut_state_persists_across_oracle_calls(oracle, rng,
-                                                         tmp_path):
+def test_connected_default_logistic_bn_matches_c_oracle(oracle, rng,
+                                                        tmp_path):
+    """[connected] with NO activation key defaults to LOGISTIC in darknet
+    (parse_connected), and supports batch_normalize (bias-as-beta, file
+    order bias/weights/scales/mean/var). Both were silently mishandled
+    before round 2's recurrent work surfaced them."""
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg
+    cfg_text = ("[net]\ninputs=12\nbatch=1\n\n"
+                "[connected]\nbatch_normalize=1\noutput=16\n\n"
+                "[connected]\noutput=8\nactivation=tanh\n")
+    specs, _, _ = parse_cfg(cfg_text)
+    assert specs[1] == S.Dense(16, act="logistic", bn=True)
+    assert specs[2] == S.Dense(8, act="tanh")
+    specs = specs + (S.Detect(()),)
+
+    params, stats = _init(specs, (1, 1, 1, 12), rng)
+    wpath = str(tmp_path / "fc.weights")
+    W.save_darknet_weights(specs, 1, params, stats, wpath, in_channels=12)
+    cpath = str(tmp_path / "fc.cfg")
+    with open(cpath, "w") as f:
+        f.write(cfg_text)
+
+    x = rng.standard_normal((1, 12)).astype(np.float32)
+    folded = W.fold_params(params, stats, 1e-5, "darknet")
+    dets, _ = engine.apply(specs, folded, jnp.asarray(x.reshape(1, 1, 1, 12)))
+    mine = np.asarray(dets[0][0]).reshape(-1)
+
+    net = oracle.load(cpath, wpath)
+    ref = oracle.predict_flat(net, x, 8)
+    rel = np.abs(ref - mine).max() / (np.abs(ref).mean() + 1e-6)
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("shortcut", [False, True])
+def test_rnn_state_persists_across_oracle_calls(oracle, shortcut, rng,
+                                                tmp_path):
     """Two consecutive darknet predicts continue from l.state — our
-    rec_state threading must reproduce call 2 exactly."""
-    layer = S.Rnn(OUT, act="leaky")
+    rec_state threading must reproduce call 2 exactly, for both the
+    state-overwrite and the shortcut state-accumulate variants
+    (rnn_layer.c:112)."""
+    layer = S.Rnn(OUT, act="leaky", shortcut=shortcut)
     specs = _flat_specs(layer)
     params, stats = _init(specs, (T, 1, 1, IN), rng)
     wpath = str(tmp_path / "s.weights")

@@ -437,9 +437,13 @@ def cmd_generate(args):
     sampling loop runs as one on-device lax.scan."""
     from yolo_tensorflow_tpu import textgen
     specs, params, inputs = textgen.load_charrnn(args.cfg, args.weights)
+    tokens = None
+    if args.tokens:
+        with open(args.tokens) as f:   # read_tokens (examples/rnn.c:47)
+            tokens = [line.rstrip("\n") for line in f]
     text = textgen.generate(specs, params, inputs, seed_text=args.seed_text,
                             n=args.n, temperature=args.temperature,
-                            rng_seed=args.rng_seed)
+                            rng_seed=args.rng_seed, tokens=tokens)
     print(text)
 
 
@@ -451,14 +455,13 @@ def cmd_rnn_train(args):
     from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
     with open(args.text, "rb") as f:
         text = f.read()
-    specs, params, vocab = textgen.train_char_rnn(
+    specs, params, vocab, (raw_p, raw_st) = textgen.train_char_rnn(
         text, args.cfg, steps_per_seq=args.steps, batch=args.batch,
-        iters=args.iters, lr=args.lr, seed=args.rng_seed)
+        iters=args.iters, lr=args.lr, seed=args.rng_seed, return_raw=True)
     if args.out:
-        # note: a batch_normalize cfg cannot round-trip folded params to
-        # .weights (darknet stores raw BN stats) — save raises in that case
+        # save the UNFOLDED form: darknet .weights stores raw BN stats
         raw_specs, _, _ = parse_cfg_file(args.cfg)
-        W.save_darknet_weights(raw_specs, 1, params, {}, args.out,
+        W.save_darknet_weights(raw_specs, 1, raw_p, raw_st, args.out,
                                in_channels=vocab)
         print(f"wrote {args.out}")
     if args.sample:
@@ -639,6 +642,8 @@ def main(argv=None):
     p.add_argument("--seed-text", default="", help="priming text")
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--rng-seed", type=int, default=0)
+    p.add_argument("--tokens", help="vocab file, one token per line "
+                                    "(tokenized models)")
     p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("rnn-train",

@@ -100,8 +100,10 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1,
             out.append(f"stride={spec.factor}")
         elif isinstance(spec, S.Dense):
             out.append("[connected]")
+            if spec.bn:
+                out.append("batch_normalize=1")
             out.append(f"output={spec.units}")
-            out.append(f"activation={'leaky' if spec.act == 'leaky' else 'linear'}")
+            out.append(f"activation={spec.act}")
         elif isinstance(spec, S.Rnn):
             out.append("[rnn]")
             if spec.bn:
@@ -310,9 +312,15 @@ def parse_cfg(text: str):
             # explicit marker before the first connected layer
             if not b._specs or not isinstance(b._specs[-1], _FLAT2D):
                 b.transpose_flatten()
+            # darknet DEFAULTS to logistic when the key is omitted
+            # (parse_connected, src/parser.c)
             act = opt.get("activation", "logistic")
-            idx = b.dense(geti(opt, "output", 1),
-                          act="leaky" if act == "leaky" else "linear")
+            if act not in ("leaky", "linear", "logistic", "relu", "tanh"):
+                raise ValueError(
+                    f"unsupported connected activation {act!r} (supported: "
+                    "leaky, linear, logistic, relu, tanh)")
+            idx = b.dense(geti(opt, "output", 1), act=act,
+                          bn=geti(opt, "batch_normalize", 0) == 1)
         elif name in ("rnn", "gru", "lstm"):
             # recurrent layers consume flat CHW rows like [connected]
             if not b._specs or not isinstance(b._specs[-1], _FLAT2D):

@@ -84,29 +84,8 @@ def fold_bn(w_hwio, gamma, beta, mean, var, eps, formula: str = "darknet"):
     return w.astype(np.float32), b.astype(np.float32)
 
 
-def _recurrent_plan(spec, in_dim: int, in_c: int):
-    """Sublayer file order for recurrent layers — exactly the
-    save_weights_upto order (src/parser.c:1021-1050): RNN input/self/output,
-    LSTM wi,wf,wo,wg,ui,uf,uo,ug, GRU wz,wr,wh,uz,ur,uh, CRNN conv
-    input/self/output. Returns [(name, kind, fan_in, units)] with kind
-    'fc' (connected) or 'conv' (3x3 conv, fan_in = input channels)."""
-    if isinstance(spec, S.Rnn):
-        o = spec.output
-        return [("input", "fc", in_dim, o), ("self", "fc", o, o),
-                ("output", "fc", o, o)]
-    if isinstance(spec, S.Lstm):
-        o = spec.output
-        return [(n, "fc", o if n[0] == "w" else in_dim, o)
-                for n in ("wi", "wf", "wo", "wg", "ui", "uf", "uo", "ug")]
-    if isinstance(spec, S.Gru):
-        o = spec.output
-        return [(n, "fc", o if n[0] == "w" else in_dim, o)
-                for n in ("wz", "wr", "wh", "uz", "ur", "uh")]
-    if isinstance(spec, S.Crnn):
-        hf, of = spec.hidden_filters, spec.output_filters
-        return [("input", "conv", in_c, hf), ("self", "conv", hf, hf),
-                ("output", "conv", hf, of)]
-    raise TypeError(spec)
+# sublayer structure/file order lives in ONE place: specs.recurrent_plan
+_recurrent_plan = S.recurrent_plan
 
 
 def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula, bn_eps=1e-5):
@@ -206,12 +185,11 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                     "w": np.ascontiguousarray(w, np.float32),
                     "b": bias.copy()}
         elif isinstance(spec, S.Dense):
-            fan_in, units = prev[1], spec.units
-            bias, ptr = _take(buf, ptr, units)
-            flat, ptr = _take(buf, ptr, fan_in * units)
-            w = flat.reshape(units, fan_in).T  # -> (In, Out)
-            params[layer_key(i)] = {
-                "w": np.ascontiguousarray(w, np.float32), "b": bias.copy()}
+            sub, st, ptr = _read_fc(buf, ptr, prev[1], spec.units,
+                                    spec.bn, fold, bn_formula, bn_eps)
+            params[layer_key(i)] = sub
+            if st is not None:
+                batch_stats[layer_key(i)] = st
         elif isinstance(spec, S.Local):
             # parser.c:1315: biases[outputs] then weights[ssc*n*locations];
             # biases in (n, L) planar output order, weights (L, n, ssc)
@@ -306,8 +284,20 @@ def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
                 fp.write(p["w"].transpose(3, 2, 0, 1).tobytes())  # HWIO -> OIHW
             elif isinstance(spec, S.Dense):
                 p = {k: np.asarray(v, np.float32) for k, v in params[key].items()}
-                fp.write(p["b"].tobytes())
-                fp.write(p["w"].T.tobytes())  # (In,Out) -> (Out,In)
+                if spec.bn:
+                    if "gamma" not in p:
+                        raise ValueError(
+                            f"{key}: cannot serialize folded BN back to "
+                            ".weights")
+                    st = {k: np.asarray(v, np.float32)
+                          for k, v in batch_stats[key].items()}
+                    fp.write(p["beta"].tobytes())
+                    fp.write(p["w"].T.tobytes())  # (In,Out) -> (Out,In)
+                    for arr in (p["gamma"], st["mean"], st["var"]):
+                        fp.write(arr.tobytes())
+                else:
+                    fp.write(p["b"].tobytes())
+                    fp.write(p["w"].T.tobytes())  # (In,Out) -> (Out,In)
             elif isinstance(spec, S.Local):
                 p = {k: np.asarray(v, np.float32)
                      for k, v in params[key].items()}
@@ -415,7 +405,8 @@ def param_count(specs, input_size: int, *, in_channels: int = 3,
             total += spec.filters * (4 if (spec.bn and with_bn) else 1)
             total += spec.filters * cin * spec.size * spec.size
         elif isinstance(spec, S.Dense):
-            total += spec.units + prev[1] * spec.units
+            total += spec.units * (4 if (spec.bn and with_bn) else 1)
+            total += prev[1] * spec.units
         elif isinstance(spec, S.Local):
             _, oh, ow, _ = shapes[i]
             k = spec.size * spec.size * prev[3]

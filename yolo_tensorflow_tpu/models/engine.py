@@ -127,8 +127,19 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             cur = L.transpose_flatten(cur)
         elif isinstance(spec, S.Dense):
             p = params[layer_key(i)]
-            act = L.leaky_relu if spec.act == "leaky" else None
-            cur = L.dense(cur, p["w"], p["b"], act)
+            if "gamma" in p:
+                # unfolded connected+BN (forward_connected_layer: matmul,
+                # BN w/ biases-as-beta, activation)
+                from yolo_tensorflow_tpu.ops import recurrent as R
+                st = None if train else batch_stats[layer_key(i)]
+                cur, upd = R._connected(cur, p, st, spec.act, train=train,
+                                        bn_eps=bn_eps,
+                                        bn_formula=bn_formula)
+                if upd is not None:
+                    new_stats[layer_key(i)] = upd
+            else:
+                cur = _activate(L.dense(cur, p["w"], p["b"], None),
+                                spec.act)
         elif isinstance(spec, S.Dropout):
             if train:
                 dropout_rng, sub = jax.random.split(dropout_rng)
@@ -213,14 +224,20 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
 
 def _activate(x, act: str):
     """Darknet activation by name (activations.c): leaky alpha=.1,
-    logistic, relu, linear."""
+    logistic, relu, tanh, linear. Unknown names raise — silently running
+    linear would break C parity without any signal."""
     if act == "leaky":
         return L.leaky_relu(x)
     if act == "logistic":
         return jax.nn.sigmoid(x)
     if act == "relu":
         return jax.nn.relu(x)
-    return x
+    if act == "tanh":
+        return jnp.tanh(x)
+    if act == "linear":
+        return x
+    raise ValueError(f"unsupported activation {act!r} "
+                     "(supported: leaky, logistic, relu, tanh, linear)")
 
 
 def infer_shapes(specs, input_shape) -> list:
@@ -350,10 +367,10 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
             * np.sqrt(2.0 / fan_in)
         return w
 
-    def _rec_sub(rng, fan_in, units, bn, conv_c=None):
-        if conv_c is not None:
-            n = 9 * conv_c
-            w = jax.random.normal(rng, (3, 3, conv_c, units), dtype) \
+    def _rec_sub(rng, kind, fan_in, units, bn):
+        if kind == "conv":
+            n = 9 * fan_in
+            w = jax.random.normal(rng, (3, 3, fan_in, units), dtype) \
                 * np.sqrt(2.0 / n)
         else:
             w = _connected_init(rng, fan_in, units)
@@ -365,13 +382,13 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
             return p, st
         return {"w": w, "b": jnp.zeros((units,), dtype)}, None
 
-    def _rec_init(rng, plan):
-        """plan: {name: (fan_in, units, bn, conv_c)}; returns nested
-        (params, stats) dicts in .weights file order."""
+    def _rec_init(rng, spec, in_dim, in_c):
+        """Walk specs.recurrent_plan (the shared file-order source)."""
         ps, sts = {}, {}
-        for name, (fan_in, units, bn, conv_c) in plan.items():
+        for name, kind, fan_in, units in S.recurrent_plan(spec, in_dim,
+                                                          in_c):
             rng, sub = jax.random.split(rng)
-            p, st = _rec_sub(sub, fan_in, units, bn, conv_c)
+            p, st = _rec_sub(sub, kind, fan_in, units, spec.bn)
             ps[name] = p
             if st is not None:
                 sts[name] = st
@@ -399,7 +416,16 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
             rng, sub = jax.random.split(rng)
             fan_in = prev[1]
             w = jax.random.normal(sub, (fan_in, spec.units), dtype) * np.sqrt(2.0 / fan_in)
-            params[layer_key(i)] = {"w": w, "b": jnp.zeros((spec.units,), dtype)}
+            if spec.bn and not folded:
+                params[layer_key(i)] = {
+                    "w": w, "gamma": jnp.ones((spec.units,), dtype),
+                    "beta": jnp.zeros((spec.units,), dtype)}
+                stats[layer_key(i)] = {
+                    "mean": jnp.zeros((spec.units,), dtype),
+                    "var": jnp.ones((spec.units,), dtype)}
+            else:
+                params[layer_key(i)] = {
+                    "w": w, "b": jnp.zeros((spec.units,), dtype)}
         elif isinstance(spec, S.Local):
             rng, sub = jax.random.split(rng)
             _, oh, ow, _ = shapes[i]
@@ -429,26 +455,9 @@ def init_params(specs, input_shape, rng, *, folded: bool = False,
             params[layer_key(i)] = p
         elif isinstance(spec, S.RECURRENT):
             rng, sub = jax.random.split(rng)
-            if isinstance(spec, S.Rnn):
-                o = spec.output
-                plan = {"input": (prev[1], o, spec.bn, None),
-                        "self": (o, o, spec.bn, None),
-                        "output": (o, o, spec.bn, None)}
-            elif isinstance(spec, S.Gru):
-                o = spec.output
-                plan = {n: (o if n[0] == "w" else prev[1], o, spec.bn, None)
-                        for n in ("wz", "wr", "wh", "uz", "ur", "uh")}
-            elif isinstance(spec, S.Lstm):
-                o = spec.output
-                plan = {n: (o if n[0] == "w" else prev[1], o, spec.bn, None)
-                        for n in ("wi", "wf", "wo", "wg",
-                                  "ui", "uf", "uo", "ug")}
-            else:  # Crnn
-                hf, of = spec.hidden_filters, spec.output_filters
-                plan = {"input": (0, hf, spec.bn, prev[3]),
-                        "self": (0, hf, spec.bn, hf),
-                        "output": (0, of, spec.bn, hf)}
-            p, st = _rec_init(sub, plan)
+            in_dim = prev[1] if len(prev) == 2 else 0
+            in_c = prev[3] if len(prev) == 4 else 0
+            p, st = _rec_init(sub, spec, in_dim, in_c)
             params[layer_key(i)] = p
             if st:
                 stats[layer_key(i)] = st

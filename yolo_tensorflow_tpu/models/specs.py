@@ -98,10 +98,16 @@ class TransposeFlatten:
 
 @dataclass(frozen=True)
 class Dense:
-    """Fully connected layer (darknet 'connected'; YOLOv1 heads)."""
+    """Fully connected layer (darknet 'connected'; YOLOv1 heads).
+
+    darknet's parse_connected DEFAULTS to logistic activation when the cfg
+    omits the key (parser.c parse_connected), and supports batch_normalize
+    (biases act as BN beta, load_connected_weights order: bias, weights,
+    scales, mean, var)."""
 
     units: int
-    act: str = "leaky"  # "leaky" | "linear"
+    act: str = "leaky"  # leaky | linear | logistic | relu | tanh
+    bn: bool = False
 
 
 @dataclass(frozen=True)
@@ -258,6 +264,35 @@ class Crnn:
 
 RECURRENT = (Rnn, Gru, Lstm, Crnn)
 
+
+def recurrent_plan(spec, in_dim: int, in_c: int):
+    """THE single source of a recurrent layer's sublayer structure, in
+    .weights file order (save_weights_upto, src/parser.c:1021-1050): RNN
+    input/self/output, LSTM wi,wf,wo,wg,ui,uf,uo,ug, GRU wz,wr,wh,uz,ur,uh,
+    CRNN conv input/self/output. Both engine.init_params and
+    io/weights.py walk this plan — keep them from desynchronizing.
+
+    Returns [(name, kind, fan_in, units)] with kind 'fc' (connected,
+    fan_in = input features) or 'conv' (3x3 stride-1 pad-1,
+    fan_in = input channels)."""
+    if isinstance(spec, Rnn):
+        o = spec.output
+        return [("input", "fc", in_dim, o), ("self", "fc", o, o),
+                ("output", "fc", o, o)]
+    if isinstance(spec, Lstm):
+        o = spec.output
+        return [(n, "fc", o if n[0] == "w" else in_dim, o)
+                for n in ("wi", "wf", "wo", "wg", "ui", "uf", "uo", "ug")]
+    if isinstance(spec, Gru):
+        o = spec.output
+        return [(n, "fc", o if n[0] == "w" else in_dim, o)
+                for n in ("wz", "wr", "wh", "uz", "ur", "uh")]
+    if isinstance(spec, Crnn):
+        hf, of = spec.hidden_filters, spec.output_filters
+        return [("input", "conv", in_c, hf), ("self", "conv", hf, hf),
+                ("output", "conv", hf, of)]
+    raise TypeError(spec)
+
 SpecT = (Conv, MaxPool, Route, Shortcut, Reorg, Upsample,
          TransposeFlatten, Dense, Dropout, GlobalAvgPool, Softmax, Detect,
          Local, Deconv, Crop, LRN, L2Norm, Logistic) + RECURRENT
@@ -298,8 +333,8 @@ class SpecBuilder:
     def transpose_flatten(self) -> int:
         return self.add(TransposeFlatten())
 
-    def dense(self, units, act="leaky") -> int:
-        return self.add(Dense(units, act))
+    def dense(self, units, act="leaky", bn=False) -> int:
+        return self.add(Dense(units, act, bn))
 
     def dropout(self, rate=0.5) -> int:
         return self.add(Dropout(rate))

@@ -80,11 +80,7 @@ def _apply_one(specs, spec, i, params, cur, outputs, cfg):
         pad = None if spec.pad < 0 else spec.pad
         p = params[engine.layer_key(i)]
         cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride, pad=pad)
-        if spec.act == "leaky":
-            cur = L.leaky_relu(cur)
-        elif spec.act == "logistic":
-            cur = jax.nn.sigmoid(cur)
-        return cur
+        return engine._activate(cur, spec.act)
     if isinstance(spec, S.MaxPool):
         return L.max_pool(cur, spec.size, spec.stride)
     if isinstance(spec, S.Route):
@@ -103,13 +99,20 @@ def _apply_one(specs, spec, i, params, cur, outputs, cfg):
         return L.transpose_flatten(cur)
     if isinstance(spec, S.Dense):
         p = params[engine.layer_key(i)]
-        act = L.leaky_relu if spec.act == "leaky" else None
-        return L.dense(cur, p["w"], p["b"], act)
+        return engine._activate(L.dense(cur, p["w"], p["b"], None),
+                                spec.act)
     if isinstance(spec, S.GlobalAvgPool):
         return jnp.mean(cur, axis=(1, 2))
     if isinstance(spec, S.Softmax):
         return jax.nn.softmax(cur, axis=-1)
-    return cur  # Dropout (inference), Detect
+    if isinstance(spec, (S.Dropout, S.Detect)):
+        return cur  # inference no-ops
+    # silently skipping a layer (e.g. recurrent or the exotic classifier
+    # family) would corrupt downstream scales with no signal
+    raise TypeError(
+        f"layer {i}: {type(spec).__name__} is not supported by the int8 "
+        "calibration path (quantization targets the conv detection nets); "
+        "serve this model through engine.apply instead")
 
 
 def quantize_params(specs, folded_params, act_scales: Dict[str, float], *,

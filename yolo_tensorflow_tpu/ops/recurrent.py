@@ -47,7 +47,11 @@ def _act(x, name: str):
         return jax.nn.relu(x)
     if name == "tanh":
         return jnp.tanh(x)
-    return x
+    if name == "linear":
+        return x
+    # silently-linear would break C parity; fail like engine.apply does
+    raise ValueError(f"unsupported recurrent activation {name!r} "
+                     "(supported: leaky, logistic, relu, tanh, linear)")
 
 
 def _connected(x, p, st, act, *, train, bn_eps, bn_formula):

@@ -91,13 +91,16 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
                 boxes, scores, labels, conf_threshold=conf_t,
                 iou_threshold=iou_t, max_detections=max_det,
                 num_candidates=num_candidates, class_aware=class_aware)
-        boxes_xywh, conf, probs = heads.decode(
+        # decode_scored: same scoring as decode()+batched_nms but the
+        # (N, C) class activation is reduced (max/argmax on raw logits)
+        # instead of materialized — exactness argument in its docstring
+        boxes_xywh, scores, labels = heads.decode_scored(
             dets, cfg, score_dtype=score_dtype or jnp.float32)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
-        return NMS.batched_nms(
-            boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
-            max_detections=max_det, num_candidates=num_candidates,
-            class_aware=class_aware)
+        return NMS.batched_nms_scored(
+            boxes, scores, labels, conf_threshold=conf_t,
+            iou_threshold=iou_t, max_detections=max_det,
+            num_candidates=num_candidates, class_aware=class_aware)
 
     return forward
 
@@ -136,13 +139,13 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
             x = x.astype(compute_dtype)
         dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
                                compute_dtype=compute_dtype)
-        boxes_xywh, conf, probs = heads.decode(
+        boxes_xywh, scores, labels = heads.decode_scored(
             dets, cfg, score_dtype=score_dtype or jnp.float32)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
-        out = NMS.batched_nms(
-            boxes, conf, probs, conf_threshold=conf_t, iou_threshold=iou_t,
-            max_detections=max_det, num_candidates=num_candidates,
-            class_aware=class_aware)
+        out = NMS.batched_nms_scored(
+            boxes, scores, labels, conf_threshold=conf_t,
+            iou_threshold=iou_t, max_detections=max_det,
+            num_candidates=num_candidates, class_aware=class_aware)
         boxes_px = jax.vmap(
             lambda b, s: P.unmap_boxes_device(b, s[0], s[1], S))(
                 out.boxes, sizes)

@@ -69,58 +69,96 @@ def _step_fn(specs, params, inputs: int):
 
 
 def _zero_state(specs, params, inputs: int):
-    """Initial rec_state pytree (zeros — a freshly loaded darknet net)."""
+    """Initial rec_state pytree (zeros — a freshly loaded darknet net).
+    Shapes come from jax.eval_shape: no FLOPs, no device work."""
     step = _step_fn(specs, params, inputs)
-    state, _ = step(None, jnp.int32(0))  # one eager call for the shapes
-    return jax.tree.map(jnp.zeros_like, state)
+    state_sh, _ = jax.eval_shape(lambda c: step(None, c), jnp.int32(0))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), state_sh)
+
+
+def temper_probs(probs, temperature: float):
+    """The C driver's sampling transform, in its order of operations:
+    temperature is applied INSIDE the softmax layer
+    (forward_softmax_layer: softmax(logits/T), equivalently p**(1/T)
+    renormalized), THEN probabilities below 1e-4 are zeroed
+    (examples/rnn.c ``if (out[j] < .0001) out[j] = 0``); sample_array
+    normalizes whatever remains."""
+    logp = jnp.log(jnp.clip(probs, 1e-30, 1.0)) / temperature
+    pt = jax.nn.softmax(logp)
+    return jnp.where(pt < 1e-4, 0.0, pt)
+
+
+class CharRnnSampler:
+    """Reusable jitted sampler — build once, generate many times (each
+    generate() on a fresh sampler would re-trace the scans).
+
+    Sampling matches the C driver's order of operations exactly
+    (examples/rnn.c test_char_rnn): the softmax LAYER applies temperature
+    first (forward_softmax_layer, softmax(logits/T) == p**(1/T)
+    renormalized), then probabilities below 1e-4 are zeroed (rnn.c
+    ``if (out[j] < .0001) out[j] = 0``), then sample_array draws from
+    what remains. Both loops (priming, sampling) are single on-device
+    lax.scans.
+    """
+
+    def __init__(self, specs, params, inputs: int,
+                 temperature: float = 1.0):
+        step = _step_fn(specs, params, inputs)
+        self.inputs = inputs
+        self._state0 = _zero_state(specs, params, inputs)
+
+        @jax.jit
+        def prime_fn(state, chars):
+            def body(st, c):
+                st, _ = step(st, c)
+                return st, None
+            st, _ = jax.lax.scan(body, state, chars)
+            return st
+
+        def sample_fn(state, c0, key, n):
+            def body(carry, _):
+                st, c, k = carry
+                st, probs = step(st, c)
+                pt = temper_probs(probs, temperature)
+                k, sub = jax.random.split(k)
+                nxt = jax.random.categorical(sub, jnp.log(pt))
+                return (st, nxt.astype(jnp.int32), k), nxt
+            (_, _, _), out = jax.lax.scan(body, (state, c0, key), None,
+                                          length=n)
+            return out
+
+        self._prime = prime_fn
+        self._sample = jax.jit(sample_fn, static_argnums=3)
+
+    def generate(self, *, seed_text: str = "", n: int = 100,
+                 rng_seed: int = 0, tokens=None) -> str:
+        """tokens: optional list of vocab strings (rnn.c read_tokens);
+        symbols then render as 'token ' instead of chr(c)
+        (print_symbol)."""
+        # training folds bytes with % vocab (batch_text); fold the seed the
+        # same way so models trained on real text can be primed with it
+        prime = [ord(c) % self.inputs for c in seed_text]
+        state = self._state0
+        if len(prime) > 1:
+            state = self._prime(state, jnp.asarray(prime[:-1], jnp.int32))
+        last = prime[-1] if prime else 0
+        out = self._sample(state, jnp.int32(last),
+                           jax.random.PRNGKey(rng_seed), n)
+        if tokens is not None:
+            return seed_text + "".join(
+                tokens[int(c)] + " " for c in np.asarray(out))
+        return seed_text + "".join(chr(int(c)) for c in np.asarray(out))
 
 
 def generate(specs, params, inputs: int, *, seed_text: str = "",
              n: int = 100, temperature: float = 1.0,
-             rng_seed: int = 0) -> str:
-    """test_char_rnn (examples/rnn.c): prime on ``seed_text``, then sample
-    ``n`` bytes. Sampling matches the C driver: probabilities below 1e-4
-    are zeroed, the rest tempered (softmax temperature ==
-    p**(1/T) renormalized) and sampled (sample_array).
-
-    The entire sample loop is one lax.scan — carry (rec_state, char, rng).
-    """
-    step = _step_fn(specs, params, inputs)
-    state = _zero_state(specs, params, inputs)
-
-    prime = [ord(c) for c in seed_text]
-    if any(c >= inputs for c in prime):
-        raise ValueError(f"seed byte out of vocab range 0..{inputs - 1}")
-
-    @jax.jit
-    def prime_fn(state, chars):
-        def body(st, c):
-            st, _ = step(st, c)
-            return st, None
-        st, _ = jax.lax.scan(body, state, chars)
-        return st
-
-    if len(prime) > 1:
-        state = prime_fn(state, jnp.asarray(prime[:-1], jnp.int32))
-    last = prime[-1] if prime else 0
-
-    @jax.jit
-    def sample_fn(state, c0, key):
-        def body(carry, _):
-            st, c, k = carry
-            st, probs = step(st, c)
-            probs = jnp.where(probs < 1e-4, 0.0, probs)       # rnn.c:391
-            logp = jnp.where(probs > 0,
-                             jnp.log(probs) / temperature, -jnp.inf)
-            k, sub = jax.random.split(k)
-            nxt = jax.random.categorical(sub, logp)
-            return (st, nxt.astype(jnp.int32), k), nxt
-        (_, _, _), out = jax.lax.scan(body, (state, c0, key), None,
-                                      length=n)
-        return out
-
-    out = sample_fn(state, jnp.int32(last), jax.random.PRNGKey(rng_seed))
-    return seed_text + "".join(chr(int(c) % inputs) for c in np.asarray(out))
+             rng_seed: int = 0, tokens=None) -> str:
+    """One-shot convenience wrapper over CharRnnSampler (test_char_rnn,
+    examples/rnn.c). Hold a CharRnnSampler instead when sampling
+    repeatedly from the same model."""
+    sampler = CharRnnSampler(specs, params, inputs, temperature=temperature)
+    return sampler.generate(seed_text=seed_text, n=n, rng_seed=rng_seed,
+                            tokens=tokens)
 
 
 def batch_text(text: bytes, vocab: int, batch: int, steps: int,
@@ -131,7 +169,11 @@ def batch_text(text: bytes, vocab: int, batch: int, steps: int,
     arr = np.frombuffer(text, dtype=np.uint8)
     if arr.max(initial=0) >= vocab:
         arr = arr % vocab
-    offs = rng.integers(0, len(arr) - steps - 1, size=batch)
+    if len(arr) < steps + 1:
+        raise ValueError(
+            f"training text has {len(arr)} bytes; one BPTT window needs "
+            f"steps+1 = {steps + 1} (shrink --steps or use more text)")
+    offs = rng.integers(0, len(arr) - steps, size=batch)
     win = np.stack([arr[o:o + steps + 1] for o in offs])  # (B, T+1)
     x = np.eye(vocab, dtype=np.float32)[win[:, :-1]]      # (B, T, V)
     x = x.transpose(1, 0, 2).reshape(steps * batch, vocab)  # step-major
@@ -141,10 +183,13 @@ def batch_text(text: bytes, vocab: int, batch: int, steps: int,
 
 def train_char_rnn(text: bytes, cfg_path: str, *, steps_per_seq: int = 64,
                    batch: int = 32, iters: int = 200, lr: float = 2e-3,
-                   seed: int = 0, log_every: int = 20, log=print):
+                   seed: int = 0, log_every: int = 20, log=print,
+                   return_raw: bool = False):
     """train_char_rnn (examples/rnn.c): next-byte cross-entropy over random
     text windows. Returns (specs, folded_params, inputs) ready for
-    generate(). Adam instead of darknet's SGD+momentum (the loop is the
+    generate(); with return_raw=True appends (raw_params, raw_stats) —
+    the unfolded form save_darknet_weights needs for batch_normalize
+    cfgs. Adam instead of darknet's SGD+momentum (the loop is the
     parity surface here, not the optimizer — the detection trainer keeps
     darknet's exact update rule)."""
     import optax
@@ -193,6 +238,9 @@ def train_char_rnn(text: bytes, cfg_path: str, *, steps_per_seq: int = 64,
             jnp.asarray(y))
         if log_every and (it % log_every == 0 or it == iters - 1):
             log(f"iter {it}: loss {float(loss):.4f}")
-    folded = W.fold_params(jax.tree.map(np.asarray, params),
-                           jax.tree.map(np.asarray, stats), 1e-5, "tf")
+    raw_params = jax.tree.map(np.asarray, params)
+    raw_stats = jax.tree.map(np.asarray, stats)
+    folded = W.fold_params(raw_params, raw_stats, 1e-5, "tf")
+    if return_raw:
+        return specs, folded, vocab, (raw_params, raw_stats)
     return specs, folded, vocab
