@@ -181,15 +181,21 @@ class TestCfgRoundTrip:
 
 
 class TestTraining:
-    def test_grads_flow_and_loss_drops(self, rng):
-        """A tiny RNN+Dense next-token model on cyclic sequences — the
-        examples/rnn.c char-rnn task in miniature. Gates that BPTT through
-        the scan trains (train-mode BN included; B=4 parallel streams, as
-        BN over a single row would zero out the signal — darknet trains
-        char-rnn with batch>1 for the same reason)."""
+    @pytest.mark.parametrize("cell", [
+        S.Rnn(16, act="tanh", bn=True),
+        S.Gru(16, tanh=True),
+        S.Lstm(16),
+    ], ids=["rnn-bn", "gru", "lstm"])
+    def test_grads_flow_and_loss_drops(self, cell, rng):
+        """A tiny recurrent+Dense next-token model on cyclic sequences —
+        the examples/rnn.c char-rnn task in miniature, for each cell
+        family. Gates that BPTT through the scan trains (train-mode BN
+        included for the RNN case; B=4 parallel streams, as BN over a
+        single row would zero out the signal — darknet trains char-rnn
+        with batch>1 for the same reason)."""
         import optax
-        vocab, hidden, steps, B = 8, 16, 16, 4
-        specs = (S.TransposeFlatten(), S.Rnn(hidden, act="tanh", bn=True),
+        vocab, steps, B = 8, 16, 4
+        specs = (S.TransposeFlatten(), cell,
                  S.Dense(vocab, act="linear"), S.Detect(()))
         params, stats = engine.init_params(specs, (steps * B, 1, 1, vocab),
                                            jax.random.PRNGKey(3))
@@ -318,6 +324,18 @@ activation=linear
         x, y = batch_text(bytes(range(9)), 16, batch=4, steps=8, rng=rng)
         assert x.shape == (32, 16) and y.shape == (32,)
         np.testing.assert_array_equal(y[:4], [1, 1, 1, 1])  # only window
+
+    def test_batch_tokens(self):
+        from yolo_tensorflow_tpu.textgen import batch_tokens
+        rng = np.random.default_rng(0)
+        toks = np.arange(40) % 10
+        x, y = batch_tokens(toks, 10, batch=3, steps=5, rng=rng)
+        assert x.shape == (15, 10) and y.shape == (15,)
+        # one-hot x at step t, stream b must be followed by y at same slot
+        recon = np.argmax(x, axis=1)
+        np.testing.assert_array_equal((recon + 1) % 10, y % 10)
+        with pytest.raises(ValueError, match="token ids"):
+            batch_tokens(np.array([3, 99]), 10, batch=1, steps=1, rng=rng)
 
     def test_rnn_train_cli_saves_loadable_weights(self, tmp_path, capsys):
         """rnn-train --out writes UNFOLDED .weights (BN cfg included) that

@@ -264,6 +264,28 @@ def cmd_train(args):
 def cmd_summary(args):
     from yolo_tensorflow_tpu.config import get_config
     from yolo_tensorflow_tpu.utils.summary import summarize
+    if args.cfg:
+        from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+        specs, net, heads = parse_cfg_file(args.cfg)
+        if heads:
+            from yolo_tensorflow_tpu.config import config_from_cfg
+            cfg, specs = config_from_cfg(args.cfg)
+        else:
+            # headless (classifier / char-rnn) cfg: any carrier config
+            # works, summarize only reads input_size + name
+            import dataclasses
+            cfg = dataclasses.replace(
+                get_config("darknet19-classifier"),
+                name=os.path.basename(args.cfg),
+                input_size=int(net.get("height", 0) or 1))
+        in_ch = 3
+        if "inputs" in net and "height" not in net:   # flat-input net
+            in_ch = int(net["inputs"])
+        print(summarize(cfg, specs, input_size=args.input_size,
+                        in_channels=in_ch))
+        return
+    if not args.model:
+        raise SystemExit("summary needs --model or --cfg")
     print(summarize(get_config(args.model), input_size=args.input_size))
 
 
@@ -283,11 +305,20 @@ def cmd_inspect(args):
         params, stats, header = W.load_darknet_weights(
             specs, args.input_size or cfg.input_size, args.file, fold=False)
         print(f"header: {header}")
+
+        def walk(prefix, d):
+            for f, a in sorted(d.items()):
+                if isinstance(a, dict):   # recurrent sublayer nesting
+                    walk(f"{prefix}/{f}", a)
+                else:
+                    print(f"{prefix}/{f:<10s} {str(a.shape):<20s} "
+                          f"|mean|={np.abs(a).mean():.4f}")
+
+        import jax
         for k in sorted(params):
-            for f, a in sorted(params[k].items()):
-                print(f"{k}/{f:<10s} {str(a.shape):<20s} "
-                      f"|mean|={np.abs(a).mean():.4f}")
-        print(f"{sum(a.size for d in params.values() for a in d.values()) + sum(a.size for d in stats.values() for a in d.values()):,} floats")
+            walk(k, params[k])
+        leaves = jax.tree_util.tree_leaves((params, stats))
+        print(f"{sum(a.size for a in leaves):,} floats")
 
 
 def cmd_stream(args):
@@ -453,11 +484,17 @@ def cmd_rnn_train(args):
     from yolo_tensorflow_tpu import textgen
     from yolo_tensorflow_tpu.io import weights as W
     from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
-    with open(args.text, "rb") as f:
-        text = f.read()
+    if args.tokenized:
+        # read_tokenized_data (examples/rnn.c:24): whitespace-split ints
+        with open(args.text) as f:
+            text = np.asarray([int(t) for t in f.read().split()], np.int64)
+    else:
+        with open(args.text, "rb") as f:
+            text = f.read()
     specs, params, vocab, (raw_p, raw_st) = textgen.train_char_rnn(
         text, args.cfg, steps_per_seq=args.steps, batch=args.batch,
-        iters=args.iters, lr=args.lr, seed=args.rng_seed, return_raw=True)
+        iters=args.iters, lr=args.lr, seed=args.rng_seed, return_raw=True,
+        tokenized=args.tokenized)
     if args.out:
         # save the UNFOLDED form: darknet .weights stores raw BN stats
         raw_specs, _, _ = parse_cfg_file(args.cfg)
@@ -582,7 +619,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("summary", help="layer table (shapes, params, BFLOPs)")
-    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--model", choices=MODEL_NAMES)
+    p.add_argument("--cfg", help="summarize an arbitrary darknet .cfg "
+                                 "instead of a registry model")
     p.add_argument("--input-size", type=int, default=None)
     p.set_defaults(fn=cmd_summary)
 
@@ -651,6 +690,9 @@ def main(argv=None):
                             "(examples/rnn.c train_char_rnn)")
     p.add_argument("--cfg", required=True)
     p.add_argument("--text", required=True, help="raw training text file")
+    p.add_argument("--tokenized", action="store_true",
+                   help="treat --text as whitespace-separated token ids "
+                        "(read_tokenized_data)")
     p.add_argument("--steps", type=int, default=64,
                    help="BPTT window (net time_steps)")
     p.add_argument("--batch", type=int, default=32)

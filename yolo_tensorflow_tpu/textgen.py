@@ -169,9 +169,26 @@ def batch_text(text: bytes, vocab: int, batch: int, steps: int,
     arr = np.frombuffer(text, dtype=np.uint8)
     if arr.max(initial=0) >= vocab:
         arr = arr % vocab
+    return _batch_windows(arr, vocab, batch, steps, rng)
+
+
+def batch_tokens(tokens: np.ndarray, vocab: int, batch: int, steps: int,
+                 rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+    """get_rnn_token_data (examples/rnn.c:70): windows over a pre-tokenized
+    int stream instead of raw bytes (darknet's ``rnn train --tokenized``
+    with read_tokenized_data)."""
+    arr = np.asarray(tokens, np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() >= vocab):
+        raise ValueError(
+            f"token ids must be in [0, {vocab}); got range "
+            f"[{arr.min()}, {arr.max()}]")
+    return _batch_windows(arr, vocab, batch, steps, rng)
+
+
+def _batch_windows(arr, vocab, batch, steps, rng):
     if len(arr) < steps + 1:
         raise ValueError(
-            f"training text has {len(arr)} bytes; one BPTT window needs "
+            f"training text has {len(arr)} symbols; one BPTT window needs "
             f"steps+1 = {steps + 1} (shrink --steps or use more text)")
     offs = rng.integers(0, len(arr) - steps, size=batch)
     win = np.stack([arr[o:o + steps + 1] for o in offs])  # (B, T+1)
@@ -181,10 +198,10 @@ def batch_text(text: bytes, vocab: int, batch: int, steps: int,
     return x, y
 
 
-def train_char_rnn(text: bytes, cfg_path: str, *, steps_per_seq: int = 64,
+def train_char_rnn(text, cfg_path: str, *, steps_per_seq: int = 64,
                    batch: int = 32, iters: int = 200, lr: float = 2e-3,
                    seed: int = 0, log_every: int = 20, log=print,
-                   return_raw: bool = False):
+                   return_raw: bool = False, tokenized: bool = False):
     """train_char_rnn (examples/rnn.c): next-byte cross-entropy over random
     text windows. Returns (specs, folded_params, inputs) ready for
     generate(); with return_raw=True appends (raw_params, raw_stats) —
@@ -231,8 +248,9 @@ def train_char_rnn(text: bytes, cfg_path: str, *, steps_per_seq: int = 64,
         return p, st, opt_state, loss
 
     rng = np.random.default_rng(seed)
+    batcher = batch_tokens if tokenized else batch_text
     for it in range(iters):
-        x, y = batch_text(text, vocab, batch, steps_per_seq, rng)
+        x, y = batcher(text, vocab, batch, steps_per_seq, rng)
         params, stats, opt_state, loss = train_step(
             params, stats, opt_state, jnp.asarray(x[:, None, None, :]),
             jnp.asarray(y))

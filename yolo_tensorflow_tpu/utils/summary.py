@@ -8,12 +8,13 @@ from yolo_tensorflow_tpu import config as C
 from yolo_tensorflow_tpu.models import engine, specs as S
 
 
-def summarize(cfg: C.ModelConfig, specs=None, input_size=None) -> str:
+def summarize(cfg: C.ModelConfig, specs=None, input_size=None,
+              in_channels: int = 3) -> str:
     specs = C.build_specs(cfg) if specs is None else specs
     size = input_size or cfg.input_size
-    inp = (1, size, size, 3)
+    inp = (1, size, size, in_channels)
     shapes = engine.infer_shapes(specs, inp)
-    lines = [f"{cfg.name}  input {size}x{size}x3",
+    lines = [f"{cfg.name}  input {size}x{size}x{in_channels}",
              f"{'#':>3} {'layer':<14} {'params':>12} {'BFLOPs':>8}  output"]
     prev = inp
     total_f = total_p = 0.0
@@ -51,6 +52,24 @@ def summarize(cfg: C.ModelConfig, specs=None, input_size=None) -> str:
             desc = "softmax"
         elif isinstance(spec, S.Detect):
             desc = f"detect v{cfg.head} mask={spec.anchor_mask}"
+        elif isinstance(spec, S.RECURRENT):
+            in_dim = prev[1] if len(prev) == 2 else 0
+            in_c = prev[3] if len(prev) == 4 else 0
+            per_unit = 4 if spec.bn else 1
+            for _, kind, fan_in, units in S.recurrent_plan(spec, in_dim,
+                                                           in_c):
+                mul = 9 if kind == "conv" else 1
+                params += units * per_unit + fan_in * units * mul
+                if kind == "conv":
+                    _, oh, ow, _ = shape
+                    flops += 2.0 * oh * ow * 9 * fan_in * units
+                else:
+                    flops += 2.0 * fan_in * units
+            names = {S.Rnn: "rnn", S.Gru: "gru", S.Lstm: "lstm",
+                     S.Crnn: "crnn"}
+            out_n = spec.output_filters if isinstance(spec, S.Crnn) \
+                else spec.output
+            desc = f"{names[type(spec)]} {out_n}"
         else:
             desc = type(spec).__name__
         total_f += flops
