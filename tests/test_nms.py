@@ -108,3 +108,19 @@ def test_nms_jits():
     probs = jnp.asarray(rng.random((1, 40, 3)).astype(np.float32))
     dets = fn(boxes, conf, probs)
     assert dets.boxes.shape == (1, 8, 4)
+
+
+def test_candidate_topk_exactness(rng):
+    """The ApproxTopK exact-mode selection (recall_target=1.0) in
+    _nms_single must return the IDENTICAL values and indices as
+    lax.top_k — the perf swap is only legal because it's not actually
+    approximate (is_fallback=true in the lowered HLO)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    scores = jnp.asarray(rng.standard_normal((8, 10647)), jnp.float32)
+    v1, i1 = jax.jit(lambda s: lax.top_k(s, 256))(scores)
+    v2, i2 = jax.jit(
+        lambda s: lax.approx_max_k(s, 256, recall_target=1.0))(scores)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
