@@ -463,6 +463,36 @@ def test_connected_default_logistic_bn_matches_c_oracle(oracle, rng,
     assert rel < 1e-4, rel
 
 
+def test_softmax_groups_temperature_matches_c_oracle(oracle, rng,
+                                                     tmp_path):
+    """[softmax] groups= (contiguous-chunk softmax, softmax_cpu) and
+    temperature= (exp((x-max)/T), the char-rnn sampling knob) vs the C."""
+    cfg_text = ("[net]\ninputs=12\nbatch=1\n\n"
+                "[connected]\noutput=24\nactivation=linear\n\n"
+                "[softmax]\ngroups=4\ntemperature=2.0\n")
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg
+    specs, _, _ = parse_cfg(cfg_text)
+    assert specs[-1] == S.Softmax(groups=4, temperature=2.0)
+    specs = specs + (S.Detect(()),)
+    params, stats = _init(specs, (1, 1, 1, 12), rng)
+    wpath = str(tmp_path / "sm.weights")
+    W.save_darknet_weights(specs, 1, params, stats, wpath, in_channels=12)
+    cpath = str(tmp_path / "sm.cfg")
+    with open(cpath, "w") as f:
+        f.write(cfg_text)
+
+    x = rng.standard_normal((1, 12)).astype(np.float32)
+    folded = W.fold_params(params, stats, 1e-5, "darknet")
+    dets, _ = engine.apply(specs, folded,
+                           jnp.asarray(x.reshape(1, 1, 1, 12)))
+    mine = np.asarray(dets[0][0]).reshape(-1)
+    net = oracle.load(cpath, wpath)
+    ref = oracle.predict_flat(net, x, 24)
+    np.testing.assert_allclose(mine, ref, rtol=1e-5, atol=1e-6)
+    # each 6-wide group sums to 1 independently
+    np.testing.assert_allclose(mine.reshape(4, 6).sum(1), 1.0, rtol=1e-5)
+
+
 @pytest.mark.parametrize("shortcut", [False, True])
 def test_rnn_state_persists_across_oracle_calls(oracle, shortcut, rng,
                                                 tmp_path):

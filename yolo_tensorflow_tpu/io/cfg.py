@@ -172,7 +172,9 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1,
             out.append("[avgpool]")
         elif isinstance(spec, S.Softmax):
             out.append("[softmax]")
-            out.append("groups=1")
+            out.append(f"groups={spec.groups}")
+            if spec.temperature != 1.0:
+                out.append(f"temperature={spec.temperature:g}")
         elif isinstance(spec, S.Detect):
             if cfg.head == 3:
                 out.append("[yolo]")
@@ -359,7 +361,15 @@ def parse_cfg(text: str):
         elif name == "avgpool":
             idx = b.add(S.GlobalAvgPool())
         elif name == "softmax":
-            idx = b.add(S.Softmax())
+            if "tree" in opt:
+                raise ValueError(
+                    "[softmax] tree= (YOLO9000 classifier tree) is handled "
+                    "through the region/tree pipeline (models/tree.py), "
+                    "not as a bare softmax layer")
+            if float(opt.get("spatial", 0)):
+                raise ValueError("[softmax] spatial=1 is not supported")
+            idx = b.add(S.Softmax(geti(opt, "groups", 1),
+                                  getf(opt, "temperature", 1.0)))
         elif name == "local":
             # parse_local (parser.c:130): pad is the raw pixel amount
             idx = b.add(S.Local(geti(opt, "filters", 1),

@@ -148,7 +148,16 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         elif isinstance(spec, S.GlobalAvgPool):
             cur = jnp.mean(cur, axis=(1, 2))
         elif isinstance(spec, S.Softmax):
-            cur = jax.nn.softmax(cur.astype(jnp.float32), axis=-1)
+            x32 = cur.astype(jnp.float32)
+            if spec.temperature != 1.0:
+                x32 = x32 / spec.temperature
+            if spec.groups > 1:
+                shp = x32.shape
+                x32 = x32.reshape(shp[:-1] + (spec.groups,
+                                              shp[-1] // spec.groups))
+                cur = jax.nn.softmax(x32, axis=-1).reshape(shp)
+            else:
+                cur = jax.nn.softmax(x32, axis=-1)
         elif isinstance(spec, S.Detect):
             detections.append((cur, spec))
         elif isinstance(spec, S.Local):

@@ -125,8 +125,16 @@ class GlobalAvgPool:
 
 @dataclass(frozen=True)
 class Softmax:
-    """Softmax over the last axis (src/softmax_layer.c, classifier tails;
-    the YOLO9000 softmax-tree variant is out of scope, see SCOPE.md)."""
+    """Softmax over the last axis (src/softmax_layer.c, classifier tails).
+
+    ``groups`` splits the feature axis into contiguous chunks softmaxed
+    independently (softmax_cpu's groups path); ``temperature`` divides the
+    logits first (exp((x - max)/T)) — darknet's char-rnn sampling knob.
+    The YOLO9000 softmax-tree variant lives in models/tree.py (region
+    pipeline); a [softmax] section with tree= is rejected at parse."""
+
+    groups: int = 1
+    temperature: float = 1.0
 
 
 @dataclass(frozen=True)
