@@ -88,6 +88,18 @@ def fold_bn(w_hwio, gamma, beta, mean, var, eps, formula: str = "darknet"):
 _recurrent_plan = S.recurrent_plan
 
 
+def fold_bn_fc(w, gamma, beta, mean, var, eps, formula: str = "darknet"):
+    """Fold inference BN into a connected layer's (In, Out) weight + bias —
+    the fold_bn twin for the last-axis layout (connected biases are BN
+    beta, load_connected_weights)."""
+    if formula == "darknet":
+        inv = gamma / (np.sqrt(var) + 1e-6)
+    else:
+        inv = gamma / np.sqrt(var + eps)
+    return ((w * inv[None, :]).astype(np.float32),
+            (beta - mean * inv).astype(np.float32))
+
+
 def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula, bn_eps=1e-5):
     """One connected sublayer from the stream (load_connected_weights,
     src/parser.c: biases, weights (out,in) row-major, then BN
@@ -101,12 +113,8 @@ def _read_fc(buf, ptr, fan_in, units, bn, fold, bn_formula, bn_eps=1e-5):
     mean, ptr = _take(buf, ptr, units)
     var, ptr = _take(buf, ptr, units)
     if fold:
-        if bn_formula == "darknet":
-            inv = gamma / (np.sqrt(var) + 1e-6)
-        else:
-            inv = gamma / np.sqrt(var + bn_eps)
-        return {"w": (w * inv[None, :]).astype(np.float32),
-                "b": (bias - mean * inv).astype(np.float32)}, None, ptr
+        wf, bf = fold_bn_fc(w, gamma, bias, mean, var, bn_eps, bn_formula)
+        return {"w": wf, "b": bf}, None, ptr
     return ({"w": w, "gamma": gamma.copy(), "beta": bias.copy()},
             {"mean": mean.copy(), "var": var.copy()}, ptr)
 
@@ -159,31 +167,12 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
     prev = (1, input_size, input_size, in_channels)
     for i, spec in enumerate(specs):
         if isinstance(spec, S.Conv):
-            cin, cout, k = prev[3], spec.filters, spec.size
-            if spec.bn:
-                beta, ptr = _take(buf, ptr, cout)
-                gamma, ptr = _take(buf, ptr, cout)
-                mean, ptr = _take(buf, ptr, cout)
-                var, ptr = _take(buf, ptr, cout)
-            else:
-                bias, ptr = _take(buf, ptr, cout)
-            flat, ptr = _take(buf, ptr, cout * cin * k * k)
-            w = flat.reshape(cout, cin, k, k).transpose(2, 3, 1, 0)  # -> HWIO
-            if spec.bn:
-                if fold:
-                    wf, bf = fold_bn(w, gamma, beta, mean, var, bn_eps,
-                                     bn_formula)
-                    params[layer_key(i)] = {"w": wf, "b": bf}
-                else:
-                    params[layer_key(i)] = {
-                        "w": np.ascontiguousarray(w, np.float32),
-                        "gamma": gamma.copy(), "beta": beta.copy()}
-                    batch_stats[layer_key(i)] = {
-                        "mean": mean.copy(), "var": var.copy()}
-            else:
-                params[layer_key(i)] = {
-                    "w": np.ascontiguousarray(w, np.float32),
-                    "b": bias.copy()}
+            sub, st, ptr = _read_conv_sub(buf, ptr, prev[3], spec.filters,
+                                          spec.size, spec.bn, fold, bn_eps,
+                                          bn_formula)
+            params[layer_key(i)] = sub
+            if st is not None:
+                batch_stats[layer_key(i)] = st
         elif isinstance(spec, S.Dense):
             sub, st, ptr = _read_fc(buf, ptr, prev[1], spec.units,
                                     spec.bn, fold, bn_formula, bn_eps)
@@ -370,14 +359,8 @@ def fold_params(params, batch_stats, bn_eps: float,
         w = np.asarray(p["w"])
         gamma, beta = np.asarray(p["gamma"]), np.asarray(p["beta"])
         mean, var = np.asarray(st["mean"]), np.asarray(st["var"])
-        if w.ndim == 2:   # connected sublayer (In, Out)
-            if bn_formula == "darknet":
-                inv = gamma / (np.sqrt(var) + 1e-6)
-            else:
-                inv = gamma / np.sqrt(var + bn_eps)
-            return {"w": (w * inv[None, :]).astype(np.float32),
-                    "b": (beta - mean * inv).astype(np.float32)}
-        w2, b2 = fold_bn(w, gamma, beta, mean, var, bn_eps, bn_formula)
+        fold = fold_bn_fc if w.ndim == 2 else fold_bn
+        w2, b2 = fold(w, gamma, beta, mean, var, bn_eps, bn_formula)
         return {"w": w2, "b": b2}
 
     out = {}

@@ -130,11 +130,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             if "gamma" in p:
                 # unfolded connected+BN (forward_connected_layer: matmul,
                 # BN w/ biases-as-beta, activation)
-                from yolo_tensorflow_tpu.ops import recurrent as R
                 st = None if train else batch_stats[layer_key(i)]
-                cur, upd = R._connected(cur, p, st, spec.act, train=train,
-                                        bn_eps=bn_eps,
-                                        bn_formula=bn_formula)
+                cur, upd = L.connected_forward(cur, p, st, spec.act,
+                                               train=train, bn_eps=bn_eps,
+                                               bn_formula=bn_formula)
                 if upd is not None:
                     new_stats[layer_key(i)] = upd
             else:
@@ -231,22 +230,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
     return detections, aux
 
 
-def _activate(x, act: str):
-    """Darknet activation by name (activations.c): leaky alpha=.1,
-    logistic, relu, tanh, linear. Unknown names raise — silently running
-    linear would break C parity without any signal."""
-    if act == "leaky":
-        return L.leaky_relu(x)
-    if act == "logistic":
-        return jax.nn.sigmoid(x)
-    if act == "relu":
-        return jax.nn.relu(x)
-    if act == "tanh":
-        return jnp.tanh(x)
-    if act == "linear":
-        return x
-    raise ValueError(f"unsupported activation {act!r} "
-                     "(supported: leaky, logistic, relu, tanh, linear)")
+# darknet activation-by-name (raises on unknown names) — ops/layers.py
+_activate = L.activate
 
 
 def infer_shapes(specs, input_shape) -> list:

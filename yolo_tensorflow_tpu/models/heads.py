@@ -222,8 +222,11 @@ def decode_scored(detections, cfg: ModelConfig, score_dtype=jnp.float32):
     never runs — measured ~5% e2e on v5e at int8 batch 256). v2's
     softmax-class equivalent: best prob = 1/sum_c exp(l_c - max_c l_c);
     v1's class outputs are raw, so max/argmax apply directly. Scoring is
-    bit-identical to decode()+batched_nms (same ops on the same elements,
-    minus the discarded non-max lanes).
+    bit-identical to decode()+batched_nms at f32 (same ops on the same
+    elements, minus the discarded non-max lanes). Under
+    score_dtype=bfloat16, label ties that exist only because two bf16
+    SIGMOIDS round equal resolve by the (more precise) bf16 logits here —
+    strictly better, but not bit-equal to argmaxing the rounded sigmoids.
 
     Returns (boxes_xywh (B,N,4), scores (B,N), labels (B,N) int32).
     """
@@ -245,7 +248,8 @@ def decode_scored(detections, cfg: ModelConfig, score_dtype=jnp.float32):
         best_prob = 1.0 / jnp.sum(jnp.exp(logits - m[..., None]), axis=-1)
         conf = jax.nn.sigmoid(det[..., 4])
         scores = (conf * best_prob).reshape(batch, H * W * A)
-        boxes, _, _ = decode_v2(feat, cfg)
+        boxes = _decode_v2_boxes(det, cfg, H, W) \
+            .reshape(batch, H * W * A, 4)
         return boxes, scores.astype(jnp.float32), \
             labels.reshape(batch, H * W * A)
     boxes_p, scores_p, labels_p = [], [], []
@@ -267,6 +271,23 @@ def decode_scored(detections, cfg: ModelConfig, score_dtype=jnp.float32):
     return (jnp.concatenate(boxes_p, axis=1),
             jnp.concatenate(scores_p, axis=1),
             jnp.concatenate(labels_p, axis=1))
+
+
+def _decode_v2_boxes(det, cfg, H, W):
+    """Box-only slice of decode_v2's math (det (B,H*W,A,5+C) f32) —
+    identical ops, no conf/class work materialized."""
+    xy = jax.nn.sigmoid(det[..., 0:2])
+    wh = jnp.exp(det[..., 2:4])
+    col = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) \
+        .reshape(1, H * W, 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) \
+        .reshape(1, H * W, 1)
+    anchors = jnp.asarray(cfg.anchors, jnp.float32)
+    bx = (col + xy[..., 0]) / W
+    by = (row + xy[..., 1]) / H
+    bw = anchors[:, 0] * wh[..., 0] / W
+    bh = anchors[:, 1] * wh[..., 1] / H
+    return jnp.stack([bx, by, bw, bh], axis=-1)
 
 
 def _decode_v3_boxes(det, anchors_px, Gh, Gw, input_size):

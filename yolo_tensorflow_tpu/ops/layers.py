@@ -26,6 +26,48 @@ def leaky_relu(x, alpha=0.1):
     return jnp.maximum(x * alpha, x)
 
 
+def activate(x, name: str):
+    """Darknet activation by name (src/activations.c): leaky alpha=.1,
+    logistic, relu, tanh, linear. Unknown names raise — silently running
+    linear would break C parity without any signal."""
+    if name == "leaky":
+        return leaky_relu(x)
+    if name == "logistic":
+        return jax.nn.sigmoid(x)
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "linear":
+        return x
+    raise ValueError(f"unsupported activation {name!r} "
+                     "(supported: leaky, logistic, relu, tanh, linear)")
+
+
+def connected_forward(x, p, st, act, *, train, bn_eps,
+                      bn_formula="darknet"):
+    """forward_connected_layer (src/connected_layer.c): matmul, then batch
+    norm (the layer's biases act as BN beta) or bias add, then activation.
+    x (B, In) -> (B, Out). ``p`` is {"w","b"} (folded / no BN) or
+    {"w","gamma","beta"}; ``st`` the running {"mean","var"} for unfolded
+    inference. Returns (y, batch_stats_or_None) — used by both the engine's
+    [connected] layers and every recurrent sublayer (ops/recurrent.py)."""
+    if "gamma" not in p:
+        return activate(dense(x, p["w"], p["b"]), act), None
+    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    y = jnp.dot(x, p["w"].astype(x.dtype),
+                preferred_element_type=jnp.float32, precision=precision)
+    if train:
+        mean = jnp.mean(y, axis=0)
+        var = jnp.var(y, axis=0)
+        inv = p["gamma"] * lax.rsqrt(var + bn_eps)
+        y = y * inv + (p["beta"] - mean * inv)
+        return activate(y, act), {"mean": mean, "var": var}
+    y = batch_norm_inference(y, p["gamma"], p["beta"], st["mean"],
+                             st["var"], bn_eps, formula=bn_formula)
+    return activate(y, act), None
+
+
 def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None):
     """Conv with darknet explicit padding (size//2 per side).
 

@@ -38,39 +38,10 @@ from jax import lax
 from yolo_tensorflow_tpu.ops import layers as L
 
 
-def _act(x, name: str):
-    if name == "leaky":
-        return L.leaky_relu(x)
-    if name == "logistic":
-        return jax.nn.sigmoid(x)
-    if name == "relu":
-        return jax.nn.relu(x)
-    if name == "tanh":
-        return jnp.tanh(x)
-    if name == "linear":
-        return x
-    # silently-linear would break C parity; fail like engine.apply does
-    raise ValueError(f"unsupported recurrent activation {name!r} "
-                     "(supported: leaky, logistic, relu, tanh, linear)")
-
-
-def _connected(x, p, st, act, *, train, bn_eps, bn_formula):
-    """forward_connected_layer (src/connected_layer.c): x (B, In) ->
-    (B, Out). Returns (y, batch_stats_or_None)."""
-    if "gamma" not in p:
-        return _act(L.dense(x, p["w"], p["b"]), act), None
-    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    y = jnp.dot(x, p["w"].astype(x.dtype),
-                preferred_element_type=jnp.float32, precision=precision)
-    if train:
-        mean = jnp.mean(y, axis=0)
-        var = jnp.var(y, axis=0)
-        inv = p["gamma"] * lax.rsqrt(var + bn_eps)
-        y = y * inv + (p["beta"] - mean * inv)
-        return _act(y, act), {"mean": mean, "var": var}
-    y = L.batch_norm_inference(y, p["gamma"], p["beta"], st["mean"],
-                               st["var"], bn_eps, formula=bn_formula)
-    return _act(y, act), None
+# the shared connected-sublayer primitive and by-name activation live in
+# ops/layers.py (the engine's [connected] layers use the same functions)
+_act = L.activate
+_connected = L.connected_forward
 
 
 def _conv_sub(x, p, st, act, *, train, bn_eps, bn_formula):

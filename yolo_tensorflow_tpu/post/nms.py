@@ -86,9 +86,13 @@ def _nms_single(boxes, scores, labels, *, conf_threshold, iou_threshold,
         # exact top-k through the TPU-optimized ApproxTopK op:
         # recall_target=1.0 lowers with is_fallback=true (the exact
         # algorithm), ~18% faster than lax.top_k's generic sort on
-        # (10647,)-per-image scores; identical values and indices
-        # (verified vs lax.top_k in tests and on random data on both
-        # backends)
+        # (10647,)-per-image scores; identical values and indices for
+        # distinct scores (verified vs lax.top_k in tests, both backends).
+        # Ordering among EXACTLY-equal scores is unspecified — as it is in
+        # the C reference itself, whose do_nms_sort uses unstable qsort
+        # (src/box.c:58) — so which of two equal-scored overlapping boxes
+        # wins greedy suppression may differ from lax.top_k's
+        # lowest-index-first rule.
         top_scores, idx = lax.approx_max_k(masked, k, recall_target=1.0)
     else:
         top_scores, idx = lax.top_k(masked, k)

@@ -107,6 +107,18 @@ class CharRnnSampler:
         self.inputs = inputs
         self._state0 = _zero_state(specs, params, inputs)
 
+        # test_char_rnn OVERWRITES every layer's temperature with the flag
+        # (rnn.c: net->layers[i].temperature = temp) — if the cfg's own
+        # [softmax] already tempered by T_net, the probs we see are
+        # softmax(l/T_net); raising them to the power T_net/T_req yields
+        # softmax(l/T_req), the C's sampling distribution. temper_probs
+        # raises to 1/temperature, so divide the request by T_net.
+        t_net = 1.0
+        for sp in specs:
+            if isinstance(sp, S.Softmax):
+                t_net = sp.temperature
+        temperature = temperature / t_net
+
         @jax.jit
         def prime_fn(state, chars):
             def body(st, c):
@@ -133,11 +145,13 @@ class CharRnnSampler:
     def generate(self, *, seed_text: str = "", n: int = 100,
                  rng_seed: int = 0, tokens=None) -> str:
         """tokens: optional list of vocab strings (rnn.c read_tokens);
-        symbols then render as 'token ' instead of chr(c)
-        (print_symbol)."""
-        # training folds bytes with % vocab (batch_text); fold the seed the
-        # same way so models trained on real text can be primed with it
-        prime = [ord(c) % self.inputs for c in seed_text]
+        symbols then render as 'token ' instead of bytes (print_symbol)."""
+        # symbols are BYTES, exactly like training (batch_text reads raw
+        # UTF-8 bytes) and like the C driver (seed[i] is a char) — going
+        # through code points would desync non-ASCII seeds from the
+        # byte-stream the model was trained on. Training folds % vocab;
+        # fold the seed the same way.
+        prime = [b % self.inputs for b in seed_text.encode("utf-8")]
         state = self._state0
         if len(prime) > 1:
             state = self._prime(state, jnp.asarray(prime[:-1], jnp.int32))
@@ -147,7 +161,8 @@ class CharRnnSampler:
         if tokens is not None:
             return seed_text + "".join(
                 tokens[int(c)] + " " for c in np.asarray(out))
-        return seed_text + "".join(chr(int(c)) for c in np.asarray(out))
+        raw = bytes(int(c) % 256 for c in np.asarray(out))
+        return seed_text + raw.decode("utf-8", errors="replace")
 
 
 def generate(specs, params, inputs: int, *, seed_text: str = "",

@@ -28,7 +28,8 @@ def summarize(cfg: C.ModelConfig, specs=None, input_size=None,
             flops = 2.0 * oh * ow * co * ci * spec.size ** 2
             desc = f"conv {spec.filters} {spec.size}x{spec.size}/{spec.stride}"
         elif isinstance(spec, S.Dense):
-            params = prev[1] * spec.units + spec.units
+            params = prev[1] * spec.units \
+                + spec.units * (4 if spec.bn else 1)
             flops = 2.0 * prev[1] * spec.units
             desc = f"connected {spec.units}"
         elif isinstance(spec, S.MaxPool):
