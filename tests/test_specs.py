@@ -71,3 +71,78 @@ def test_yolov3_608_shapes():
     assert got == [(1, 19, 19, 255), (1, 38, 38, 255), (1, 76, 76, 255)]
     bflops = engine.count_flops(specs, (1, 608, 608, 3)) / 1e9
     assert abs(bflops - 140.7) < 3  # darknet prints ~140.7 for yolov3-608
+
+
+def test_cfg_roundtrip_fuzz(rng):
+    """Random spec chains (parser-convention shaped: a 4D spatial section,
+    then optionally flat layers) must survive specs -> cfg text -> specs
+    exactly — emit/parse asymmetries in any layer's options would show up
+    here before they corrupt a real model.
+    """
+    import dataclasses
+    from yolo_tensorflow_tpu import config as C
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg, specs_to_cfg
+    from yolo_tensorflow_tpu.models import specs as S
+
+    carrier = dataclasses.replace(C.get_config("darknet19-classifier"),
+                                  input_size=32)
+
+    def rand_spatial():
+        k = int(rng.integers(0, 6))
+        if k == 0:
+            size = int(rng.choice([1, 3, 5]))
+            return S.Conv(int(rng.integers(1, 9)), size,
+                          int(rng.choice([1, 2])),
+                          bn=bool(rng.integers(0, 2)),
+                          act=str(rng.choice(["leaky", "linear",
+                                              "logistic", "relu"])),
+                          pad=size // 2)
+        if k == 1:
+            return S.MaxPool(2, 2)
+        if k == 2:
+            return S.LRN(5, 1e-4, 0.75, 1.0)
+        if k == 3:
+            return S.Crnn(int(rng.integers(1, 5)), int(rng.integers(1, 5)),
+                          act=str(rng.choice(["leaky", "logistic"])),
+                          bn=bool(rng.integers(0, 2)),
+                          shortcut=bool(rng.integers(0, 2)))
+        if k == 4:
+            return S.L2Norm()
+        return S.Logistic()
+
+    def rand_flat():
+        k = int(rng.integers(0, 5))
+        if k == 0:
+            return S.Dense(int(rng.integers(1, 65)),
+                           act=str(rng.choice(["leaky", "linear",
+                                               "logistic", "tanh"])),
+                           bn=bool(rng.integers(0, 2)))
+        if k == 1:
+            return S.Rnn(int(rng.integers(1, 33)),
+                         act=str(rng.choice(["logistic", "tanh", "leaky"])),
+                         bn=bool(rng.integers(0, 2)),
+                         shortcut=bool(rng.integers(0, 2)))
+        if k == 2:
+            return S.Gru(int(rng.integers(1, 33)),
+                         bn=bool(rng.integers(0, 2)),
+                         tanh=bool(rng.integers(0, 2)))
+        if k == 3:
+            return S.Lstm(int(rng.integers(1, 33)),
+                          bn=bool(rng.integers(0, 2)))
+        return S.Softmax(groups=1,
+                         temperature=float(rng.choice([1.0, 2.0, 0.5])))
+
+    needs_flatten = (S.Dense, S.Rnn, S.Gru, S.Lstm)
+    for trial in range(25):
+        chain = [rand_spatial() for _ in range(int(rng.integers(1, 4)))]
+        if rng.integers(0, 2):
+            flats = [rand_flat() for _ in range(int(rng.integers(1, 4)))]
+            # the parser auto-inserts TransposeFlatten only before layers
+            # that consume flat rows (not e.g. a bare softmax on 4D)
+            if isinstance(flats[0], needs_flatten):
+                chain.append(S.TransposeFlatten())
+            chain += flats
+        specs = tuple(chain)
+        text = specs_to_cfg(carrier, specs, time_steps=2)
+        parsed, net, _ = parse_cfg(text)
+        assert parsed == specs, (trial, text, parsed, specs)

@@ -236,10 +236,25 @@ def _parse_sections(text: str) -> List[Tuple[str, Dict[str, str]]]:
     return sections
 
 
-# spec types whose output is already flat/2D — no TransposeFlatten needed
-# before a following [connected]/[rnn]/[gru]/[lstm]
-_FLAT2D = (S.Dense, S.Dropout, S.TransposeFlatten, S.Rnn, S.Gru, S.Lstm,
-           S.GlobalAvgPool)
+# flatness tracking for the implicit-CHW-flatten insertion: these spec
+# types PRODUCE flat/2D output...
+_MAKES_FLAT = (S.Dense, S.TransposeFlatten, S.Rnn, S.Gru, S.Lstm,
+               S.GlobalAvgPool)
+# ...and these preserve whatever rank they are given (so a [softmax]
+# between [connected] and [rnn] keeps the tensor flat — tracked
+# contextually, not by the last spec's type alone)
+_KEEPS_RANK = (S.Dropout, S.Softmax, S.Logistic, S.L2Norm)
+
+
+def _is_flat(specs) -> bool:
+    for sp in reversed(specs):
+        if isinstance(sp, _MAKES_FLAT):
+            return True
+        if isinstance(sp, _KEEPS_RANK):
+            continue
+        return False
+    return False  # network input (the engine feeds (B,1,1,C) even for
+    # flat-input nets, so the first flat consumer still flattens)
 
 
 def parse_cfg(text: str):
@@ -312,7 +327,7 @@ def parse_cfg(text: str):
         elif name == "connected":
             # darknet flattens CHW implicitly; our NHWC engine needs the
             # explicit marker before the first connected layer
-            if not b._specs or not isinstance(b._specs[-1], _FLAT2D):
+            if not _is_flat(b._specs):
                 b.transpose_flatten()
             # darknet DEFAULTS to logistic when the key is omitted
             # (parse_connected, src/parser.c)
@@ -325,7 +340,7 @@ def parse_cfg(text: str):
                           bn=geti(opt, "batch_normalize", 0) == 1)
         elif name in ("rnn", "gru", "lstm"):
             # recurrent layers consume flat CHW rows like [connected]
-            if not b._specs or not isinstance(b._specs[-1], _FLAT2D):
+            if not _is_flat(b._specs):
                 b.transpose_flatten()
             output = geti(opt, "output", 1)
             bn = geti(opt, "batch_normalize", 0) == 1
