@@ -631,3 +631,105 @@ softmax=1
     assert not np.isfinite(ref_boxes).all(), (
         "vendored darknet's region-tree forward no longer corrupts its "
         "boxes — revisit: a bit-exact oracle gate may now be possible")
+
+
+def test_random_mixed_nets_match_c_oracle(oracle, rng, tmp_path):
+    """Fuzz the WHOLE interop surface at once: random layer chains
+    (spatial conv/pool/LRN/CRNN, optional flatten into
+    connected/RNN/GRU/LSTM/softmax) are emitted as (cfg, weights) pairs,
+    loaded by the reference's own compiled darknet, and diffed against the
+    engine — any layer-combination semantic mismatch in the parser,
+    emitter, weights walker, or a kernel shows up here, not just the
+    combinations the hand-written gates pick."""
+    import dataclasses
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg, specs_to_cfg
+
+    size, T = 16, 2
+    carrier = dataclasses.replace(C.get_config("darknet19-classifier"),
+                                  input_size=size)
+
+    def rand_spatial():
+        k = int(rng.integers(0, 4))
+        if k == 0:
+            ks = int(rng.choice([1, 3]))
+            return S.Conv(int(rng.integers(2, 7)), ks, 1,
+                          bn=bool(rng.integers(0, 2)),
+                          act=str(rng.choice(["leaky", "logistic"])),
+                          pad=ks // 2)
+        if k == 1:
+            return S.MaxPool(2, 2)
+        if k == 2:
+            return S.LRN(5, 1e-4, 0.75, 1.0)
+        return S.Crnn(int(rng.integers(2, 5)), int(rng.integers(2, 4)),
+                      act=str(rng.choice(["leaky", "logistic"])),
+                      bn=bool(rng.integers(0, 2)),
+                      shortcut=bool(rng.integers(0, 2)))
+
+    def rand_flat():
+        k = int(rng.integers(0, 4))
+        if k == 0:
+            return S.Dense(int(rng.integers(4, 33)),
+                           act=str(rng.choice(["leaky", "linear",
+                                               "logistic", "tanh"])),
+                           bn=bool(rng.integers(0, 2)))
+        if k == 1:
+            return S.Rnn(int(rng.integers(4, 17)),
+                         act=str(rng.choice(["logistic", "tanh"])),
+                         bn=bool(rng.integers(0, 2)),
+                         shortcut=bool(rng.integers(0, 2)))
+        if k == 2:
+            return S.Gru(int(rng.integers(4, 17)),
+                         tanh=bool(rng.integers(0, 2)))
+        return S.Lstm(int(rng.integers(4, 17)))
+
+    for trial in range(8):
+        chain = [rand_spatial() for _ in range(int(rng.integers(1, 4)))]
+        # at most one pooling halving chain from 16px; drop extra pools
+        pools = [i for i, s in enumerate(chain) if isinstance(s, S.MaxPool)]
+        for i in pools[2:]:
+            chain[i] = S.LRN(5, 1e-4, 0.75, 1.0)
+        if any(isinstance(s, S.Crnn) for s in chain):
+            # darknet bug: CRNN never propagates its conv sublayers'
+            # workspace_size, so without a big-enough REAL conv in the net
+            # the C runtime im2cols into a NULL workspace and segfaults
+            # (see test_crnn_matches_c_oracle) — lead with a 5x5 conv
+            chain.insert(0, S.Conv(4, 5, bn=False, act="linear", pad=2))
+        if rng.integers(0, 2):
+            chain.append(S.TransposeFlatten())
+            chain += [rand_flat() for _ in range(int(rng.integers(1, 3)))]
+            if rng.integers(0, 2):
+                chain.append(S.Softmax())
+        specs = tuple(chain) + (S.Detect(()),)
+
+        params, stats = engine.init_params(specs, (T, size, size, 3),
+                                           jax.random.PRNGKey(trial))
+        params = jax.tree.map(np.asarray, params)
+        stats = jax.tree.map(
+            lambda a: np.asarray(a) + 0.5 * rng.random(a.shape
+                                                       ).astype(np.float32),
+            stats)
+        wpath = str(tmp_path / f"fz{trial}.weights")
+        W.save_darknet_weights(specs, size, params, stats, wpath)
+        cpath = str(tmp_path / f"fz{trial}.cfg")
+        text = specs_to_cfg(carrier, specs, time_steps=T)
+        with open(cpath, "w") as f:
+            f.write(text)
+        reparsed, _, _ = parse_cfg(text)
+        assert reparsed == specs[:-1] or reparsed == specs, trial
+
+        img = rng.random((T, size, size, 3)).astype(np.float32)
+        folded = W.fold_params(params, stats, 1e-5, "darknet")
+        dets, _ = engine.apply(specs, folded, jnp.asarray(img),
+                               time_steps=T)
+        mine = np.asarray(dets[0][0])
+
+        flat = np.concatenate([f.transpose(2, 0, 1).ravel() for f in img])
+        net = oracle.load(cpath, wpath)
+        ref = oracle.predict_flat(net, flat, mine.size)
+        if mine.ndim == 4:  # spatial output: darknet is CHW per frame
+            Hh, Ww, Cc = mine.shape[1:]
+            ref = ref.reshape(T, Cc, Hh, Ww).transpose(0, 2, 3, 1)
+        else:
+            ref = ref.reshape(mine.shape)
+        rel = np.abs(ref - mine).max() / (np.abs(ref).mean() + 1e-6)
+        assert rel < 1e-4, (trial, rel, text)
