@@ -43,8 +43,15 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int):
     the real pixels + traced (h, w) -> (S, S, 3) float32 in [0, 1],
     bit-matching letterbox_image(resize_image(im)) up to float association.
 
-    Static shapes throughout: the gather grid is (S, S); only the scale and
-    pad offsets are data-dependent.
+    TPU formulation: the separable bilinear is TWO MATMULS against one-hot
+    interpolation matrices (each output row/column has at most two source
+    weights), column pass first then row pass — the same order as
+    resize_image's horizontal-then-vertical loops, so the float products
+    round identically to the direct two-term form. The original
+    gather-grid formulation ran at ~66 img/s on v5e (4 full (S,S,3)
+    gathers hit the scalar path); the matmul form rides the MXU. Only the
+    interpolation-matrix CONTENTS are data-dependent — shapes stay
+    static, one compilation serves every input size.
     """
     S = out_size
     Hc, Wc = canvas_u8.shape[0], canvas_u8.shape[1]
@@ -57,9 +64,10 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int):
     w_scale = (w - 1).astype(jnp.float32) / jnp.maximum(new_w - 1, 1)
     h_scale = (h - 1).astype(jnp.float32) / jnp.maximum(new_h - 1, 1)
 
-    rr = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) - py   # row in resized
-    cc = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1) - px   # col in resized
-    inside = (rr >= 0) & (rr < new_h) & (cc >= 0) & (cc < new_w)
+    rr = jnp.arange(S, dtype=jnp.int32) - py   # output row in resized image
+    cc = jnp.arange(S, dtype=jnp.int32) - px   # output col in resized image
+    in_r = (rr >= 0) & (rr < new_h)
+    in_c = (cc >= 0) & (cc < new_w)
 
     sx = cc.astype(jnp.float32) * w_scale
     sy = rr.astype(jnp.float32) * h_scale
@@ -72,8 +80,8 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int):
     # last column outright (val = get_pixel(im, im.w-1, ...)); the last
     # output row keeps its (1-dy) weight but SKIPS the +dy*part[iy+1] term
     # (image.c:1380 'if(r == h-1 ...) continue') — with float32 rounding of
-    # r*h_scale deciding whether that row lands on iy=h-1 (dy~0, full value)
-    # or iy=h-2 (dy~1, near-zero). We reproduce the same float32 products.
+    # r*h_scale deciding whether that row lands on iy=h-1 (dy~0, full
+    # value) or iy=h-2 (dy~1, near-zero).
     last_col = (cc == new_w - 1) | (w == 1)
     last_row = (rr == new_h - 1) | (h == 1)
     ix = jnp.where(last_col, w - 1, ix)
@@ -85,9 +93,23 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int):
     ix1 = jnp.clip(ix + 1, 0, Wc - 1)
     iy1 = jnp.clip(iy + 1, 0, Hc - 1)
 
-    top = (1 - dx)[..., None] * x[iy, ix] + dx[..., None] * x[iy, ix1]
-    bot = (1 - dx)[..., None] * x[iy1, ix] + dx[..., None] * x[iy1, ix1]
-    val = (1 - dy)[..., None] * top + wbot[..., None] * bot
+    # one-hot interp matrices; zero out rows/cols outside the resized area
+    # (ix1 can equal ix at the clip edge, but its weight is 0 there)
+    col_ids = jnp.arange(Wc, dtype=jnp.int32)
+    row_ids = jnp.arange(Hc, dtype=jnp.int32)
+    Cm = ((col_ids[None, :] == ix[:, None]) * (1 - dx)[:, None]
+          + (col_ids[None, :] == ix1[:, None]) * dx[:, None])    # (S, Wc)
+    Cm = jnp.where(in_c[:, None], Cm, 0.0)
+    Rm = ((row_ids[None, :] == iy[:, None]) * (1 - dy)[:, None]
+          + (row_ids[None, :] == iy1[:, None]) * wbot[:, None])  # (S, Hc)
+    Rm = jnp.where(in_r[:, None], Rm, 0.0)
+
+    # horizontal pass then vertical pass (resize_image's loop order)
+    part = jnp.einsum("hwc,sw->hsc", x, Cm,
+                      precision=jax.lax.Precision.HIGHEST)   # (Hc, S, 3)
+    val = jnp.einsum("rh,hsc->rsc", Rm, part,
+                     precision=jax.lax.Precision.HIGHEST)    # (S, S, 3)
+    inside = in_r[:, None] & in_c[None, :]
     return jnp.where(inside[..., None], val, 0.5)
 
 
