@@ -97,6 +97,31 @@ def main():
         qparams = jax.device_put(Q.quantize_params(specs, params, scales))
     ips_int8 = measure(qparams)
 
+    # letterbox-FUSED serving (arbitrary input sizes, darknet-exact
+    # aspect-preserving resize + box un-mapping inside the jit — the
+    # BASELINE north star; bilinear as MXU matmuls, see ops/preprocess.py)
+    from yolo_tensorflow_tpu.pipeline import make_forward_letterbox
+    fwd_lb = make_forward_letterbox(cfg, specs,
+                                    compute_dtype=jnp.bfloat16,
+                                    score_dtype=jnp.bfloat16)
+    sizes_lb = jax.device_put(np.tile(
+        np.array([[300, 400]], np.int32), (batch, 1)))
+
+    @jax.jit
+    def chained_lb(p, imgs, sz):
+        def body(_, carry):
+            im, acc = carry
+            out = fwd_lb(p, im, sz)
+            im = im + (out.num.sum() % 2).astype(jnp.uint8)
+            return im, acc + out.num.sum()
+        _, acc = lax.fori_loop(0, iters, body, (imgs, jnp.int32(0)))
+        return acc
+
+    _ = int(chained_lb(qparams, images, sizes_lb))
+    t0 = time.perf_counter()
+    _ = int(chained_lb(qparams, images, sizes_lb))
+    ips_lb = batch * iters / (time.perf_counter() - t0)
+
     # p50 end-to-end single-batch latency (incl. dispatch + host readback)
     single = jax.jit(fwd)
     out = single(qparams, images)
@@ -117,6 +142,7 @@ def main():
         "vs_baseline": round(ips_int8 / 1500.0, 3),
         "extra": {"bf16_images_per_sec": round(ips_bf16, 1),
                   "bf16_vs_baseline": round(ips_bf16 / 1500.0, 3),
+                  "letterbox_fused_int8_images_per_sec": round(ips_lb, 1),
                   "int8_map_delta_on_trained_model": "+0.035 (see tools/synthetic_train_demo.py)",
                   "batch": batch, "iters_chained": iters,
                   "p50_batch_e2e_ms_incl_host_readback": round(p50_ms, 2),
