@@ -139,3 +139,18 @@ def test_fused_matches_host_letterbox_path(rng):
         assert ra["class_id"] == rb["class_id"]
         assert abs(ra["score"] - rb["score"]) < 1e-4
         np.testing.assert_allclose(ra["box"], rb["box"], atol=1.0)
+
+
+def test_letterbox_bf16_serving_knob(rng):
+    """compute_dtype=bfloat16 on the device letterbox (a +~10% serving
+    knob for the fused pipeline) must stay within an interpolation-weight
+    quantum of the exact f32 output: pixel values are bf16-exact, only
+    the <=2^-9-relative weight rounding differs."""
+    import jax.numpy as jnp
+    from yolo_tensorflow_tpu.ops.preprocess import letterbox_device
+    canvas = np.zeros((64, 64, 3), np.uint8)
+    canvas[:48, :40] = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+    exact = np.asarray(letterbox_device(jnp.asarray(canvas), 48, 40, 64))
+    fast = np.asarray(letterbox_device(jnp.asarray(canvas), 48, 40, 64,
+                                       compute_dtype=jnp.bfloat16))
+    assert np.abs(exact - fast).max() < 2.0 / 255.0

@@ -111,7 +111,7 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
                            conf_threshold: Optional[float] = None,
                            iou_threshold: Optional[float] = None,
                            class_aware_nms: Optional[bool] = None,
-                           score_dtype=None):
+                           score_dtype=None, letterbox_dtype=None):
     """Forward with the letterbox FUSED into the jit (BASELINE.md north
     star): (params, canvas (B,Hc,Hc,3) uint8, sizes (B,2) int32 [h,w]) ->
     Detections whose boxes are in ORIGINAL-image pixels. The host does no
@@ -128,7 +128,8 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
     S = cfg.input_size
 
     def forward(params, canvas_uint8, sizes):
-        x = P.letterbox_device_batch(canvas_uint8, sizes, S)
+        x = P.letterbox_device_batch(canvas_uint8, sizes, S,
+                                     compute_dtype=letterbox_dtype)
         # letterbox output is already x/255; rescale for the per-model
         # normalization contract (normalize_images)
         if cfg.normalization == "symmetric":
