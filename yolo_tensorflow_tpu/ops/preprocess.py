@@ -112,11 +112,14 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int,
     # — under a quantum of the uint8 input, and far under int8
     # quantization noise). Default f32 HIGHEST bit-matches the C.
     if compute_dtype is not None and compute_dtype != jnp.float32:
+        # downcast the inter-pass intermediate at the producer (fuses into
+        # the first matmul's epilogue -> half the HBM round trip); the
+        # consumer would cast it anyway, so numerics are unchanged
         part = jnp.einsum("hwc,sw->hsc", x.astype(compute_dtype),
                           Cm.astype(compute_dtype),
-                          preferred_element_type=jnp.float32)
-        val = jnp.einsum("rh,hsc->rsc", Rm.astype(compute_dtype),
-                         part.astype(compute_dtype),
+                          preferred_element_type=jnp.float32) \
+            .astype(compute_dtype)
+        val = jnp.einsum("rh,hsc->rsc", Rm.astype(compute_dtype), part,
                          preferred_element_type=jnp.float32)
     else:
         part = jnp.einsum("hwc,sw->hsc", x, Cm,
