@@ -100,3 +100,44 @@ def test_cli_detect_artifact_and_serve(tmp_path, capsys):
     assert rec["image"].endswith("a.jpg")
     assert rec["detections"][0]["class"] == "cat"
     assert (out_dir / "served" / "detected_a.jpg").exists()
+
+
+def test_letterbox_artifact_roundtrip(tmp_path):
+    """A Detector(letterbox=True, fused=True) exports the letterbox-fused
+    program: the artifact takes (canvas, sizes), returns original-pixel
+    boxes, and the consumer app's output matches the live fused detector
+    exactly — arbitrary-input-size serving from a frozen artifact."""
+    from yolo_tensorflow_tpu.export import ArtifactDetector
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(0), folded=True)
+    params = jax.tree.map(lambda a: np.zeros_like(a), params)
+    head = sorted(params)[-1]
+    bias = np.zeros_like(params[head]["b"])
+    bias[4] = 4.0
+    bias[5 + 7] = 6.0
+    params[head]["b"] = bias
+    det = Detector(cfg, params=params, specs=specs, letterbox=True,
+                   fused=True, num_candidates=32, max_detections=5)
+
+    path = tmp_path / "lb.ytt"
+    export_detector(det, str(path), batch_size=1, canvas_size=128)
+
+    app = ArtifactDetector(str(path))
+    assert app.artifact.is_letterbox
+    img = np.full((100, 90, 3), 128, np.uint8)   # fits the 128 canvas
+    frozen = app.detect(img)
+    live = det.detect(img)
+    assert frozen and len(frozen) == len(live)
+    for f, l in zip(frozen, live):
+        assert f["class_id"] == l["class_id"]
+        assert abs(f["score"] - l["score"]) < 1e-4
+        for a, b in zip(f["box"], l["box"]):
+            assert abs(a - b) < 0.51, (f, l)  # live path buckets canvas
+
+    # an image larger than the canvas: consumer downscales + rescales boxes
+    big = np.full((300, 260, 3), 128, np.uint8)
+    res = app.detect(big)
+    assert res and all(r["class_id"] == 7 for r in res)
+    assert max(v for r in res for v in r["box"]) <= 300.0

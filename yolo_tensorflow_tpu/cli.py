@@ -140,7 +140,8 @@ def cmd_convert(args):
 def cmd_export(args):
     from yolo_tensorflow_tpu.export import export_detector
     det = _build_detector(args)
-    export_detector(det, args.out, batch_size=args.batch)
+    export_detector(det, args.out, batch_size=args.batch,
+                    canvas_size=getattr(args, "canvas_size", 0))
     print(f"wrote {args.out}")
 
 
@@ -550,6 +551,10 @@ def main(argv=None):
     _add_model_args(p)
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--canvas-size", type=int, default=0,
+                   help="with --letterbox --fused-letterbox: canvas side "
+                        "of the arbitrary-input-size artifact (default "
+                        "2x model input)")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("eval", help="mAP evaluation")
