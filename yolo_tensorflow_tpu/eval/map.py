@@ -105,14 +105,18 @@ def evaluate_detections(
         for ti, thr in enumerate(iou_thresholds):
             tps = []
             for sc, best_iou, best_j, g in entries:
+                # Vectorized greedy match. Each detection claims only its
+                # single best-IoU gt (best_j is fixed across thresholds), so
+                # the sequential walk "TP iff IoU>=thr and gt unclaimed"
+                # reduces to: the FIRST (highest-score) qualifying detection
+                # per gt is TP, all later claimants are FP. np.unique's
+                # return_index gives exactly those first occurrences.
                 tp = np.zeros(len(sc), bool)
                 if g:
-                    taken = np.zeros(g, bool)
-                    for k in range(len(sc)):
-                        j = best_j[k]
-                        if best_iou[k] >= thr and not taken[j]:
-                            tp[k] = True
-                            taken[j] = True
+                    kk = np.flatnonzero(best_iou >= thr)
+                    if len(kk):
+                        _, first = np.unique(best_j[kk], return_index=True)
+                        tp[kk[first]] = True
                 tps.append(tp)
             tp = np.concatenate(tps)[global_order]
             ctp = np.cumsum(tp)

@@ -142,7 +142,13 @@ class ArtifactDetector:
         if self.artifact.is_letterbox:
             # raw pixels into the canvas; resize/pad/un-map are inside the
             # frozen program. Downscale only if the image exceeds the
-            # canvas, and scale boxes back afterwards.
+            # canvas, and map boxes back with the TRUE per-axis ratios
+            # (int() flooring of the resize target makes them differ from
+            # the nominal scale by up to ~1px on the non-dominant axis).
+            # Note the host pre-shrink uses cv2 INTER_AREA — a deliberate
+            # deviation from the darknet bilinear inside the frozen program
+            # (area averaging is the correct anti-aliasing minifier for an
+            # oversize fallback; the in-program letterbox stays bit-exact).
             side = self.size
             scale = min(1.0, side / max(h, w))
             if scale < 1.0:
@@ -156,7 +162,8 @@ class ArtifactDetector:
             outs = {k: np.asarray(v)
                     for k, v in self.artifact(canvas, sizes).items()}
             n = int(outs["detected_num"][0])
-            boxes_px = outs["detected_boxes"][0, :n] / scale
+            boxes_px = outs["detected_boxes"][0, :n] * np.asarray(
+                [w / iw, h / ih, w / iw, h / ih], np.float32)
         else:
             resized = cv2.resize(image, (self.size, self.size),
                                  interpolation=cv2.INTER_LINEAR)

@@ -31,6 +31,19 @@ def layer_key(i: int) -> str:
     return f"L{i:03d}"
 
 
+def _bn_stats(batch_stats, key):
+    """Running stats for an unfolded-BN layer, with a descriptive error when
+    the caller forgot to pass them (instead of 'NoneType is not
+    subscriptable')."""
+    if batch_stats is None or key not in batch_stats:
+        raise ValueError(
+            f"layer {key} carries unfolded batch-norm params (gamma/beta) "
+            "but no batch_stats were supplied; pass the running mean/var "
+            "pytree to engine.apply(..., batch_stats=...) or fold the "
+            "params first (io.weights.fold_params)")
+    return batch_stats[key]
+
+
 def apply(specs, params, x, *, train: bool = False, batch_stats=None,
           bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None,
           bn_formula: str = "darknet", time_steps: int = 1,
@@ -97,7 +110,7 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                     cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"], bn_eps)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
                 else:
-                    st = batch_stats[layer_key(i)]
+                    st = _bn_stats(batch_stats, layer_key(i))
                     cur = L.batch_norm_inference(
                         cur, p["gamma"], p["beta"], st["mean"], st["var"],
                         bn_eps, formula=bn_formula)
@@ -130,7 +143,7 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             if "gamma" in p:
                 # unfolded connected+BN (forward_connected_layer: matmul,
                 # BN w/ biases-as-beta, activation)
-                st = None if train else batch_stats[layer_key(i)]
+                st = None if train else _bn_stats(batch_stats, layer_key(i))
                 cur, upd = L.connected_forward(cur, p, st, spec.act,
                                                train=train, bn_eps=bn_eps,
                                                bn_formula=bn_formula)
@@ -175,7 +188,7 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                                                    p["beta"], bn_eps)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
                 else:
-                    st = batch_stats[layer_key(i)]
+                    st = _bn_stats(batch_stats, layer_key(i))
                     cur = L.batch_norm_inference(
                         cur, p["gamma"], p["beta"], st["mean"], st["var"],
                         bn_eps, formula=bn_formula)

@@ -71,11 +71,21 @@ def _from_time_major(y):
 
 
 def _mean_stats(stats_seq):
-    """Per-step batch stats -> one update (mean over steps). Darknet folds
-    each step into the rolling averages sequentially (momentum per step);
-    averaging first is the order-free equivalent the functional train loop
-    consumes (one rolling update per train step)."""
-    return jax.tree.map(lambda a: jnp.mean(a, axis=0), stats_seq)
+    """Per-step batch stats (leading axis T) -> one update per train step.
+    Darknet folds each step into the rolling averages sequentially
+    (momentum per step); the order-free equivalent combines the T per-step
+    (mean, var) pairs by the law of total variance —
+        var = E_t[var_t] + Var_t[mean_t]
+    — so the across-step spread of the per-step means is kept (a plain
+    mean of the vars would underestimate the variance the sequential
+    rolling update accumulates)."""
+    def combine(sub):
+        m, v = sub["mean"], sub["var"]
+        mbar = jnp.mean(m, axis=0)
+        return {"mean": mbar,
+                "var": (jnp.mean(v, axis=0)
+                        + jnp.mean(jnp.square(m - mbar), axis=0))}
+    return {k: combine(v) for k, v in stats_seq.items()}
 
 
 def rnn_forward(x, p, state0, *, steps, act="logistic", shortcut=False,
