@@ -1,0 +1,224 @@
+"""Batched, prefetching detection over an image list — the evaluation hot
+path.
+
+The reference's validate_detector pipelines 4 buffered images through
+loader pthreads while the GPU runs the current one
+(examples/detector.c:388-430: load_data_in_thread into buf[t], join, swap,
+relaunch, predict). Serial ``det.detect(img)`` per image — one dispatch,
+batch 1 — is dominated by harness at any realistic dataset size. Here:
+
+  - a thread pool decodes + preprocesses images with a bounded lookahead
+    (the 4-buffer idea, sized in batches instead of images),
+  - the device runs full ``detect_batch`` batches (one compiled executable,
+    tail padded to the batch size),
+  - device dispatch is async, so batch k+1's host work overlaps batch k's
+    device time; results are fetched one batch behind the dispatch.
+
+Per-image box un-scaling stays on host and is bit-identical to
+``Detector.detect``'s (same letterbox/unletterbox helpers), so batched
+results match the serial path exactly (gated by
+tests/test_eval_batched.py).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _read_rgb(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def _canvas_side(h: int, w: int, input_size: int) -> int:
+    # same 256-px bucketing as Detector._detect_fused
+    return max(((max(h, w, input_size) + 255) // 256) * 256, 256)
+
+
+def detect_images(det, images: Sequence[np.ndarray],
+                  *, batch_size: int = 32, num_workers: int = 8,
+                  prefetch_batches: int = 3, progress=None):
+    """Batched detection over in-memory HWC uint8 RGB images.
+
+    Returns a list (one per image) of ``Detector.detect``-style
+    list-of-dicts with pixel-space boxes on each original image. Honors the
+    detector's preprocessing mode (stretch / host letterbox / fused
+    letterbox) with results identical to the serial ``det.detect`` path.
+    """
+    return _detect(det, list(images), None, batch_size=batch_size,
+                   num_workers=num_workers,
+                   prefetch_batches=prefetch_batches, progress=progress)
+
+
+def detect_paths(det, paths: Sequence[str], *, batch_size: int = 32,
+                 num_workers: int = 8, prefetch_batches: int = 3,
+                 read_fn=_read_rgb, progress=None):
+    """Batched detection over image files: decode + preprocess on a worker
+    pool overlapped with device batches. Returns
+    (results_per_image, sizes) where sizes is a list of (h, w) so callers
+    (mAP eval) can scale ground truth without re-reading the images."""
+    return _detect(det, None, list(paths), batch_size=batch_size,
+                   num_workers=num_workers,
+                   prefetch_batches=prefetch_batches, read_fn=read_fn,
+                   progress=progress, return_sizes=True)
+
+
+def _detect(det, images, paths, *, batch_size, num_workers,
+            prefetch_batches, read_fn=_read_rgb, progress=None,
+            return_sizes=False):
+    import jax
+
+    S = det.cfg.input_size
+    fused = getattr(det, "fused", False)
+    use_letterbox = getattr(det, "letterbox", False)
+    n = len(images) if images is not None else len(paths)
+    if n == 0:
+        return ([], []) if return_sizes else []
+
+    if use_letterbox and not fused:
+        from yolo_tensorflow_tpu.data.augment import letterbox
+
+    def prep(i):
+        """Decode + per-image preprocessing (worker thread)."""
+        img = images[i] if images is not None else read_fn(paths[i])
+        h, w = img.shape[:2]
+        if fused:
+            # raw pixels; canvas assembly happens at batch level so the
+            # whole batch shares one side (one executable per bucket)
+            return img, ("fused", h, w)
+        if use_letterbox:
+            resized, scale, px, py = letterbox(img, S)
+            return resized, ("letterbox", h, w, scale, px, py)
+        import cv2
+        resized = cv2.resize(img, (S, S), interpolation=cv2.INTER_LINEAR)
+        return resized, ("stretch", h, w)
+
+    def assemble(items):
+        """items: list of prep() outputs -> device-feedable batch arrays,
+        padded to batch_size so one compiled executable serves every batch
+        (the tail included)."""
+        metas = [m for _, m in items]
+        k = len(items)
+        if fused:
+            side = max(_canvas_side(m[1], m[2], S) for m in metas)
+            canvas = np.zeros((batch_size, side, side, 3), np.uint8)
+            sizes = np.ones((batch_size, 2), np.int32)
+            for b, (img, m) in enumerate(items):
+                canvas[b, :m[1], :m[2]] = img
+                sizes[b] = (m[1], m[2])
+            return (canvas, sizes), metas
+        batch = np.zeros((batch_size, S, S, 3), np.uint8)
+        for b, (img, _) in enumerate(items):
+            batch[b] = img
+        return (batch,), metas
+
+    def finalize(dets, metas):
+        """Device batch -> per-image result dicts; the same host un-scaling
+        as Detector.detect / _detect_fused."""
+        from yolo_tensorflow_tpu.data.augment import unletterbox_boxes
+        d = jax.tree.map(np.asarray, dets)
+        out = []
+        for b, m in enumerate(metas):
+            nb = int(d.num[b])
+            boxes = d.boxes[b, :nb]
+            if m[0] == "fused":
+                boxes_px = boxes
+            elif m[0] == "letterbox":
+                _, h, w, scale, px, py = m
+                boxes_px = unletterbox_boxes(boxes, w, h, S, scale, px, py) \
+                    if nb else boxes
+            else:
+                _, h, w = m
+                boxes_px = boxes * np.asarray([w, h, w, h], np.float32)
+            out.append([{
+                "class_id": int(d.classes[b, i]),
+                "class": det.cfg.classes[int(d.classes[b, i])],
+                "score": float(d.scores[b, i]),
+                "box": tuple(float(v) for v in boxes_px[i]),
+            } for i in range(nb)])
+        return out
+
+    results: List[list] = []
+    sizes_out: List[tuple] = []
+    done = 0
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        window = batch_size * max(prefetch_batches, 1)
+        futs: deque = deque()
+        next_i = 0
+
+        def fill():
+            nonlocal next_i
+            while next_i < n and len(futs) < window:
+                futs.append(ex.submit(prep, next_i))
+                next_i += 1
+
+        fill()
+        pending = None  # (device Detections, metas) one batch behind
+        while futs or pending is not None:
+            items = []
+            while futs and len(items) < batch_size:
+                items.append(futs.popleft().result())
+                fill()
+            if items:
+                arrays, metas = assemble(items)
+                if fused:
+                    out = det.detect_batch_fused(*arrays)
+                else:
+                    out = det.detect_batch(*arrays)
+            else:
+                out, metas = None, None
+            if pending is not None:
+                results.extend(finalize(*pending))
+                done += len(pending[1])
+                if progress:
+                    progress(done, n)
+            pending = (out, metas) if items else None
+            if items:
+                sizes_out.extend((m[1], m[2]) for m in metas)
+    if return_sizes:
+        return results, sizes_out
+    return results
+
+
+def evaluate_samples(det, samples, *, batch_size: int = 32,
+                     num_workers: int = 8, limit: int = 0,
+                     progress=None):
+    """Batched mAP-ready detection over dataset samples
+    (data.datasets.Sample: image_path + normalized xywh+class gt boxes).
+
+    Returns (dets, gts, results_per_image, sizes) in the
+    eval.map.evaluate_detections input format — the batched replacement for
+    the serial per-image loop that cmd_eval and the in-training eval used.
+    """
+    if limit:
+        samples = samples[:limit]
+    results, sizes = detect_paths(det, [s.image_path for s in samples],
+                                  batch_size=batch_size,
+                                  num_workers=num_workers,
+                                  progress=progress)
+    dets, gts = [], []
+    for res, (h, w), s in zip(results, sizes, samples):
+        dets.append({
+            "boxes": np.asarray([r["box"] for r in res],
+                                np.float32).reshape(-1, 4),
+            "scores": np.asarray([r["score"] for r in res], np.float32),
+            "classes": np.asarray([r["class_id"] for r in res], np.int32),
+        })
+        gb = s.boxes
+        gts.append({
+            "boxes": np.stack([(gb[:, 0] - gb[:, 2] / 2) * w,
+                               (gb[:, 1] - gb[:, 3] / 2) * h,
+                               (gb[:, 0] + gb[:, 2] / 2) * w,
+                               (gb[:, 1] + gb[:, 3] / 2) * h], 1)
+            if len(gb) else np.zeros((0, 4), np.float32),
+            "classes": gb[:, 4].astype(np.int32) if len(gb)
+            else np.zeros((0,), np.int32),
+        })
+    return dets, gts, results, sizes
