@@ -49,6 +49,10 @@ def _build_detector(args):
     nms = {k: getattr(args, k) for k in
            ("conf_threshold", "iou_threshold", "max_detections")
            if getattr(args, k) is not None}
+    if getattr(args, "flip", False):
+        # flip-TTA: v2 decode-level (region_layer.c:368) or v3 eval-level
+        # (validate_detector_flip, examples/detector.c:234)
+        nms["tta"] = True
     params = None
     weights = args.weights
     if weights and weights.endswith(".npz"):
@@ -146,8 +150,8 @@ def cmd_export(args):
 
 
 def cmd_eval(args):
-    import cv2
     from yolo_tensorflow_tpu.data.datasets import load_voc, load_coco, load_darknet_list
+    from yolo_tensorflow_tpu.eval.batched import evaluate_samples
     from yolo_tensorflow_tpu.eval.map import evaluate_detections, coco_map
     det = _build_detector(args)
     if args.voc_root:
@@ -158,32 +162,25 @@ def cmd_eval(args):
         samples = load_darknet_list(args.list)
     if args.limit:
         samples = samples[:args.limit]
-    dets, gts, per_image = [], [], []
-    for s in samples:
-        img = cv2.cvtColor(cv2.imread(s.image_path), cv2.COLOR_BGR2RGB)
-        h, w = img.shape[:2]
-        res = det.detect(img)
-        if args.write_results:
-            from yolo_tensorflow_tpu.eval.map import coco_image_id
+    import sys
+    t0 = time.time()
+    dets, gts, results, sizes = evaluate_samples(
+        det, samples, batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        progress=lambda d, n: print(f"\r{d}/{n}", end="", flush=True,
+                                    file=sys.stderr))
+    dt = time.time() - t0
+    print(f"\r{len(samples)} images in {dt:.1f}s "
+          f"({len(samples)/max(dt, 1e-9):.1f} img/s, "
+          f"batch {args.batch_size})", file=sys.stderr)
+    per_image = []
+    if args.write_results:
+        from yolo_tensorflow_tpu.eval.map import coco_image_id
+        for s, (h, w), res in zip(samples, sizes, results):
             stem = os.path.splitext(os.path.basename(s.image_path))[0]
             image_id = coco_image_id(s.image_path) if args.coco_results \
                 else stem
             per_image.append((image_id, w, h, res))
-        dets.append({
-            "boxes": np.asarray([r["box"] for r in res], np.float32).reshape(-1, 4),
-            "scores": np.asarray([r["score"] for r in res], np.float32),
-            "classes": np.asarray([r["class_id"] for r in res], np.int32),
-        })
-        gb = s.boxes
-        gts.append({
-            "boxes": np.stack([(gb[:, 0] - gb[:, 2]/2) * w,
-                               (gb[:, 1] - gb[:, 3]/2) * h,
-                               (gb[:, 0] + gb[:, 2]/2) * w,
-                               (gb[:, 1] + gb[:, 3]/2) * h], 1)
-            if len(gb) else np.zeros((0, 4), np.float32),
-            "classes": gb[:, 4].astype(np.int32) if len(gb) else
-            np.zeros((0,), np.int32),
-        })
     n_cls = det.cfg.num_classes
     if args.recall:
         from yolo_tensorflow_tpu.eval.map import recall_stats
@@ -238,15 +235,30 @@ def cmd_serve(args):
 
     if args.watch:
         exts = (".jpg", ".jpeg", ".png", ".bmp")
-        seen = set()
+        # keyed on (path -> mtime): a re-written image is re-processed, and
+        # entries whose files vanished are dropped each poll so the map
+        # stays bounded by the directory contents (long-running server
+        # semantics, unlike a grow-only seen set)
+        seen = {}
         while True:
             names = sorted(os.listdir(args.watch))
+            live = set()
             for name in names:
-                p = os.path.join(args.watch, name)
-                if p in seen or not name.lower().endswith(exts):
+                if not name.lower().endswith(exts):
                     continue
-                seen.add(p)
+                p = os.path.join(args.watch, name)
+                try:
+                    mtime = os.stat(p).st_mtime_ns
+                except OSError:
+                    continue   # raced with a delete
+                live.add(p)
+                if seen.get(p) == mtime:
+                    continue
+                seen[p] = mtime
                 handle(p)
+            for p in list(seen):
+                if p not in live:
+                    del seen[p]
             if args.once:
                 break
             time.sleep(args.poll_interval)
@@ -370,7 +382,8 @@ def cmd_stream(args):
                                     batch_size=args.batch,
                                     loops=args.loops,
                                     max_batches=args.max_batches,
-                                    on_batch=on_batch)
+                                    on_batch=on_batch,
+                                    avg_frames=args.avg_frames)
     print(f"{frames} frames in {dt:.2f}s -> {fps:.1f} FPS "
           f"(batch {args.batch})")
 
@@ -446,6 +459,37 @@ def cmd_export_darknet(args):
     with open(args.out + ".cfg", "w") as f:
         f.write(specs_to_cfg(cfg, specs))
     print(f"wrote {args.out}.cfg + {args.out}.weights")
+
+
+def cmd_partial(args):
+    """Backbone weight truncation — the darknet ``partial`` command
+    (examples/darknet.c:184,491: load_network then
+    save_weights_upto(net, outfile, max)). Emits the first N darknet
+    layers' weights with seen reset to 0 — the workflow that produces
+    pretrain backbones like darknet19_448.conv.23 for detector
+    fine-tuning (consumed via ``train --weights backbone.conv.N
+    --partial-weights``)."""
+    from yolo_tensorflow_tpu.io import weights as W
+    if args.cfg:
+        from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+        specs, net, _ = parse_cfg_file(args.cfg)
+        input_size = int(net.get("height", 416) or 416)
+        bn_eps = 1e-5
+    elif args.model:
+        from yolo_tensorflow_tpu.config import build_specs, get_config
+        cfg = get_config(args.model)
+        specs = build_specs(cfg)
+        input_size, bn_eps = cfg.input_size, cfg.bn_eps
+    else:
+        raise SystemExit("partial needs --model or --cfg")
+    params, stats, header = W.load_darknet_weights(
+        specs, input_size, args.weights, fold=False, bn_eps=bn_eps)
+    W.save_darknet_weights(specs, input_size, params, stats, args.out,
+                           upto=args.upto, seen=0)
+    kept = W._spec_cutoff(specs, args.upto)
+    n_weighted = sum(1 for sp in specs[:kept] if W._has_weights(sp))
+    print(f"wrote {args.out}: first {args.upto} darknet layers "
+          f"({n_weighted} weighted) of {args.weights}, seen reset to 0")
 
 
 def cmd_voc_label(args):
@@ -566,6 +610,12 @@ def main(argv=None):
     p.add_argument("--image-root", default=".")
     p.add_argument("--list", help="darknet-format image list")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="device batch for the prefetching eval pipeline "
+                        "(validate_detector's buffered loader, "
+                        "detector.c:388-430, batched)")
+    p.add_argument("--num-workers", type=int, default=8,
+                   help="host decode/preprocess threads")
     p.add_argument("--coco-metric", action="store_true")
     p.add_argument("--eleven-point", action="store_true")
     p.add_argument("--write-results", default=None, metavar="DIR",
@@ -579,10 +629,22 @@ def main(argv=None):
     p.add_argument("--recall", action="store_true",
                    help="IoU/recall stats instead of mAP "
                         "(validate_detector_recall, detector.c:489)")
+    p.add_argument("--flip", action="store_true",
+                   help="flip-TTA eval: average each image with its "
+                        "mirror before decode (validate_detector_flip "
+                        "'valid2', examples/detector.c:234)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model (detector or classifier)")
-    p.add_argument("--model", required=True, choices=MODEL_NAMES)
+    p.add_argument("--model", choices=MODEL_NAMES,
+                   help="registry model (or --cfg for any darknet cfg)")
+    p.add_argument("--cfg",
+                   help="train an arbitrary darknet .cfg: every [net] "
+                        "training option (learning_rate, momentum, decay, "
+                        "burn_in, policy=steps/step/exp/poly/sig, "
+                        "max_batches) and the head section's loss options "
+                        "are honored (parse_net_options, "
+                        "src/parser.c:643); CLI flags override")
     p.add_argument("--list", required=True,
                    help="image list: darknet detection format, or for "
                         "classifier models plain paths with the class name "
@@ -593,21 +655,48 @@ def main(argv=None):
                         "training on custom classes")
     p.add_argument("--val-list")
     p.add_argument("--weights", help="initial weights (.weights or .npz)")
+    p.add_argument("--partial-weights", action="store_true",
+                   help="accept a truncated backbone .weights file "
+                        "(a 'partial' pretrain like darknet19_448.conv.23); "
+                        "layers past its end keep their random init")
     p.add_argument("--ckpt-dir", default="ckpts")
-    p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--steps", type=int, default=500200)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--burn-in", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default: cfg [net] batch, else 64")
+    p.add_argument("--steps", type=int, default=None,
+                   help="default: cfg max_batches, else 500200")
+    p.add_argument("--lr", type=float, default=None,
+                   help="default: cfg learning_rate, else 1e-3")
+    p.add_argument("--burn-in", type=int, default=None,
+                   help="default: cfg burn_in, else 1000")
     p.add_argument("--multiscale", action="store_true")
     p.add_argument("--num-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num-spatial", type=int, default=1)
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host training: jax.distributed coordinator "
+                        "address (or env JAX_COORDINATOR_ADDRESS); the "
+                        "mesh then spans all hosts' devices")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--input-size", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=0,
                    help="run val-list mAP every N steps (needs --val-list)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("partial",
+                       help="truncate a .weights file at a layer cutoff "
+                            "(darknet 'partial': backbone pretrain files "
+                            "like darknet19_448.conv.23)")
+    p.add_argument("--model", choices=MODEL_NAMES)
+    p.add_argument("--cfg", help="arbitrary darknet .cfg instead of --model")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--upto", type=int, required=True,
+                   help="darknet layer cutoff (counts cfg sections, like "
+                        "save_weights_upto)")
+    p.set_defaults(fn=cmd_partial)
 
     p = sub.add_parser("voc-label",
                        help="VOC XML -> darknet labels + lists "
@@ -644,6 +733,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--loops", type=int, default=1)
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--avg-frames", type=int, default=0,
+                   help="rolling prediction average over N frames "
+                        "(demo.c demo_frame=3 smoothing; 0 = off)")
     p.add_argument("--save-dir", default=None,
                    help="write annotated frames here (demo.c drawing)")
     p.add_argument("--display", action="store_true",

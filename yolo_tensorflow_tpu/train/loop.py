@@ -47,6 +47,96 @@ def darknet_lr_schedule(base_lr: float, *, burn_in: int = 1000,
     return schedule
 
 
+@_dc.dataclass(frozen=True)
+class NetTrainOptions:
+    """[net] training hyperparameters — parse_net_options
+    (src/parser.c:643-724). Everything get_current_rate (src/network.c:90)
+    and update_network consume, so an arbitrary .cfg trains with ITS
+    schedule, not a registry default."""
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    decay: float = 1e-4
+    batch: int = 1
+    subdivisions: int = 1
+    burn_in: int = 0
+    power: float = 4.0
+    policy: str = "constant"
+    step: int = 1
+    scale: float = 1.0
+    steps: Sequence[int] = ()
+    scales: Sequence[float] = ()
+    gamma: float = 1.0
+    max_batches: int = 0
+
+    @classmethod
+    def from_net(cls, net: dict) -> "NetTrainOptions":
+        """Build from a parsed [net] section dict (io.cfg.parse_cfg)."""
+        kw = dict(
+            learning_rate=float(net.get("learning_rate", 1e-3)),
+            momentum=float(net.get("momentum", 0.9)),
+            decay=float(net.get("decay", 1e-4)),
+            batch=int(net.get("batch", 1)),
+            subdivisions=int(net.get("subdivisions", 1)),
+            burn_in=int(net.get("burn_in", 0)),
+            power=float(net.get("power", 4)),
+            policy=net.get("policy", "constant"),
+            gamma=float(net.get("gamma", 1)),
+            step=int(net.get("step", 1)),
+            scale=float(net.get("scale", 1)),
+            max_batches=int(net.get("max_batches", 0)),
+        )
+        if kw["policy"] == "steps":
+            if "steps" not in net or "scales" not in net:
+                raise ValueError(
+                    "STEPS policy must have steps and scales in cfg file")
+            kw["steps"] = tuple(int(v) for v in net["steps"].split(","))
+            kw["scales"] = tuple(float(v) for v in net["scales"].split(","))
+        return cls(**kw)
+
+
+def darknet_schedule(opts: NetTrainOptions):
+    """Traceable transcription of get_current_rate (src/network.c:90-120):
+    burn-in ramp lr*(i/burn_in)^power while i < burn_in, then the cfg's
+    policy. Policies: constant, step, steps, exp, poly, sig. darknet's
+    'random' policy (lr*rand()^power per batch) is intentionally not
+    reproduced — a schedule must be a pure function of the step for the
+    jitted train step; no shipped cfg uses it."""
+    if opts.policy == "random":
+        raise NotImplementedError(
+            "policy=random (get_current_rate's rand_uniform draw) is not "
+            "supported: schedules are pure functions of the step here")
+    if opts.policy not in ("constant", "step", "steps", "exp", "poly",
+                           "sig"):
+        raise ValueError(f"unknown lr policy '{opts.policy}'")
+    lr = opts.learning_rate
+
+    def schedule(step):
+        s = jnp.asarray(step).astype(jnp.float32)
+        if opts.policy == "step":
+            rate = lr * opts.scale ** (jnp.asarray(step) // opts.step) \
+                .astype(jnp.float32)
+        elif opts.policy == "steps":
+            factor = jnp.float32(1.0)
+            for si, sc in zip(opts.steps, opts.scales):
+                factor = factor * jnp.where(jnp.asarray(step) >= si, sc, 1.0)
+            rate = lr * factor
+        elif opts.policy == "exp":
+            rate = lr * opts.gamma ** s
+        elif opts.policy == "poly":
+            rate = lr * (1.0 - s / max(opts.max_batches, 1)) ** opts.power
+        elif opts.policy == "sig":
+            rate = lr * (1.0 / (1.0 + jnp.exp(opts.gamma
+                                              * (s - opts.step))))
+        else:  # constant
+            rate = jnp.float32(lr)
+        if opts.burn_in > 0:
+            burn = lr * (s / opts.burn_in) ** opts.power
+            return jnp.where(s < opts.burn_in, burn, rate)
+        return rate
+
+    return schedule
+
+
 def make_optimizer(schedule, *, momentum: float = 0.9,
                    weight_decay: float = 5e-4):
     """SGD + momentum + decoupled weight decay, darknet's update rule
@@ -62,8 +152,9 @@ def make_optimizer(schedule, *, momentum: float = 0.9,
 
 
 def create_train_state(cfg: C.ModelConfig, tx, rng, *,
-                       input_size: Optional[int] = None) -> TrainState:
-    specs = C.build_specs(cfg)
+                       input_size: Optional[int] = None,
+                       specs=None) -> TrainState:
+    specs = C.build_specs(cfg) if specs is None else specs
     size = input_size or cfg.input_size
     params, batch_stats = engine.init_params(
         specs, (1, size, size, 3), rng, folded=False)
@@ -114,16 +205,17 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
 
 def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
                     ignore_thresh: float = 0.5, compute_dtype=None,
-                    **loss_kw):
+                    specs=None, **loss_kw):
     """Build the pure (state, images_u8, truths) -> (state, metrics) step.
 
     Multi-scale training (darknet's every-10-batches random resize,
     examples/detector.c:63-82) is expressed by building one step per input
     size — each compiles once and is cached by shape. Extra ``loss_kw``
     (v2_variant, region_hyper, detection_hyper) pass to loss_for_config;
-    the darknet ``seen`` counter is derived as step * batch.
+    the darknet ``seen`` counter is derived as step * batch. ``specs``
+    overrides the registry builder for arbitrary-cfg models.
     """
-    specs = C.build_specs(cfg)
+    specs = C.build_specs(cfg) if specs is None else specs
 
     def loss_fn(params, batch_stats, images, truths, drng, seen):
         x = normalize_images(images, cfg)

@@ -12,16 +12,17 @@ MULTISCALE_SIZES = tuple(range(320, 640, 32))  # 320..608 (detector.c:63-71)
 
 
 def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
-                   detector_cache=None):
+                   detector_cache=None, batch_size=16):
     """In-training mAP eval — validate_detector (examples/detector.c:364)
-    folded into the loop instead of writing files for external scorers.
+    folded into the loop instead of writing files for external scorers,
+    driven through the batched prefetching pipeline (eval/batched.py)
+    rather than one detect() dispatch per image.
     Pass a one-element list as ``detector_cache`` to reuse the compiled
     Detector across eval rounds (params are a jit argument, so swapping
     them does NOT recompile)."""
     import jax
-    import cv2
-    import numpy as np
     import jax.numpy as jnp
+    from yolo_tensorflow_tpu.eval.batched import evaluate_samples
     from yolo_tensorflow_tpu.eval.map import evaluate_detections
     from yolo_tensorflow_tpu.io.weights import fold_params
     from yolo_tensorflow_tpu.pipeline import Detector
@@ -33,31 +34,14 @@ def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
         det = detector_cache[0]
         det.params = jax.device_put(jax.tree.map(jnp.asarray, folded))
     else:
-        det = Detector(cfg.name, params=folded, input_size=cfg.input_size,
+        # pass the ModelConfig + specs directly so arbitrary-cfg (non-
+        # registry) models evaluate through the same path
+        det = Detector(cfg, params=folded, specs=specs,
                        conf_threshold=conf, max_detections=50)
         if detector_cache is not None:
             detector_cache.append(det)
-    if limit:
-        samples = samples[:limit]
-    dets, gts = [], []
-    for s in samples:
-        img = cv2.cvtColor(cv2.imread(s.image_path), cv2.COLOR_BGR2RGB)
-        h, w = img.shape[:2]
-        res = det.detect(img)
-        dets.append({
-            "boxes": np.asarray([r["box"] for r in res],
-                                np.float32).reshape(-1, 4),
-            "scores": np.asarray([r["score"] for r in res], np.float32),
-            "classes": np.asarray([r["class_id"] for r in res], np.int32)})
-        gb = s.boxes
-        gts.append({
-            "boxes": np.stack([(gb[:, 0] - gb[:, 2] / 2) * w,
-                               (gb[:, 1] - gb[:, 3] / 2) * h,
-                               (gb[:, 0] + gb[:, 2] / 2) * w,
-                               (gb[:, 1] + gb[:, 3] / 2) * h], 1)
-            if len(gb) else np.zeros((0, 4), np.float32),
-            "classes": gb[:, 4].astype(np.int32) if len(gb)
-            else np.zeros((0,), np.int32)})
+    dets, gts, _, _ = evaluate_samples(det, samples, limit=limit,
+                                       batch_size=batch_size)
     return evaluate_detections(dets, gts, cfg.num_classes)
 
 
@@ -98,6 +82,8 @@ def evaluate_classifier(cfg, state, samples, *, limit=0):
 
 
 def run_training(args):
+    import dataclasses
+    import os
     import jax
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.data.datasets import load_darknet_list
@@ -106,15 +92,62 @@ def run_training(args):
     from yolo_tensorflow_tpu.io import weights as W
     from yolo_tensorflow_tpu.parallel import mesh as M
     from yolo_tensorflow_tpu.train import loop as T
+    from yolo_tensorflow_tpu.train import losses
 
-    overrides = {}
-    if getattr(args, "input_size", None):
-        overrides["input_size"] = args.input_size
-    if getattr(args, "names", None):
-        with open(args.names) as f:
-            overrides["custom_classes"] = tuple(
-                l.strip() for l in f if l.strip())
-    cfg = C.get_config(args.model, **overrides)
+    # multi-host: initialize the distributed runtime FIRST (before any
+    # device use) so jax.devices() below is the global set and the mesh
+    # spans hosts (DP psum over ICI within a slice, DCN across hosts)
+    if getattr(args, "coordinator", None) or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        M.init_distributed(getattr(args, "coordinator", None),
+                           getattr(args, "num_processes", None),
+                           getattr(args, "process_id", None))
+        print(f"distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.devices())} global devices")
+
+    specs = None          # None -> registry builder
+    net_opts = None       # NetTrainOptions from the cfg's [net] section
+    loss_kw = {}
+    cfg_multiscale = False
+    if getattr(args, "cfg", None):
+        # arbitrary-cfg training: the C trains ANY .cfg with every
+        # hyperparameter read from [net]/the head section
+        # (parse_net_options src/parser.c:643, train_detector
+        # examples/detector.c:6) — same here
+        from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+        cfg, specs = C.config_from_cfg(
+            args.cfg, class_names_file=getattr(args, "names", None),
+            name=os.path.splitext(os.path.basename(args.cfg))[0])
+        _, net, head_opt_list = parse_cfg_file(args.cfg)
+        net_opts = T.NetTrainOptions.from_net(net)
+        h0 = head_opt_list[0] if head_opt_list else {}
+        if cfg.head == 3:
+            loss_kw["ignore_thresh"] = float(h0.get("ignore_thresh", 0.5))
+            loss_kw["truth_thresh"] = float(h0.get("truth_thresh", 1.0))
+        elif cfg.head == 2:
+            loss_kw["region_hyper"] = losses.RegionHyper.from_options(h0)
+        elif cfg.head == 1:
+            loss_kw["detection_hyper"] = \
+                losses.DetectionHyper.from_options(h0)
+        # darknet multi-scale comes from the head section's random=1
+        # (detector.c:63 'if(l.random && count++%10 == 0)')
+        cfg_multiscale = bool(int(h0.get("random", net.get("random", 0))))
+        if getattr(args, "input_size", None):
+            if cfg.head == 1:
+                raise SystemExit("--input-size cannot override a v1 "
+                                 "(FC-head) cfg")
+            cfg = dataclasses.replace(cfg, input_size=args.input_size)
+    else:
+        if not getattr(args, "model", None):
+            raise SystemExit("train needs --model or --cfg")
+        overrides = {}
+        if getattr(args, "input_size", None):
+            overrides["input_size"] = args.input_size
+        if getattr(args, "names", None):
+            with open(args.names) as f:
+                overrides["custom_classes"] = tuple(
+                    l.strip() for l in f if l.strip())
+        cfg = C.get_config(args.model, **overrides)
     if cfg.head == 0:
         # classifier training (examples/classifier.c train_classifier):
         # labels from class-name substring match on the path (fill_truth)
@@ -135,31 +168,94 @@ def run_training(args):
     mesh = M.make_mesh(num_data, args.num_spatial)
     print(f"mesh: data={num_data} spatial={args.num_spatial}")
 
-    schedule = T.darknet_lr_schedule(args.lr, burn_in=args.burn_in)
-    tx = T.make_optimizer(schedule)
-    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0))
+    # schedule/optimizer: CLI flags override the cfg's [net] options, which
+    # override the registry defaults (get_current_rate, src/network.c:90)
+    if net_opts is not None:
+        import dataclasses as _dc
+        eff = _dc.replace(
+            net_opts,
+            learning_rate=(args.lr if getattr(args, "lr", None) is not None
+                           else net_opts.learning_rate),
+            burn_in=(args.burn_in
+                     if getattr(args, "burn_in", None) is not None
+                     else net_opts.burn_in))
+        schedule = T.darknet_schedule(eff)
+        tx = T.make_optimizer(schedule, momentum=eff.momentum,
+                              weight_decay=eff.decay)
+        total_steps = (args.steps if getattr(args, "steps", None) is not None
+                       else (eff.max_batches or 500200))
+        batch_size = (args.batch_size
+                      if getattr(args, "batch_size", None) is not None
+                      else max(eff.batch, 1))
+        print(f"[net] lr {eff.learning_rate} policy {eff.policy} "
+              f"burn_in {eff.burn_in} momentum {eff.momentum} "
+              f"decay {eff.decay} max_batches {eff.max_batches} "
+              f"batch {batch_size}")
+    else:
+        lr = args.lr if getattr(args, "lr", None) is not None else 1e-3
+        burn_in = (args.burn_in
+                   if getattr(args, "burn_in", None) is not None else 1000)
+        schedule = T.darknet_lr_schedule(lr, burn_in=burn_in)
+        tx = T.make_optimizer(schedule)
+        total_steps = (args.steps
+                       if getattr(args, "steps", None) is not None
+                       else 500200)
+        batch_size = (args.batch_size
+                      if getattr(args, "batch_size", None) is not None
+                      else 64)
+    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                 specs=specs)
 
     if args.weights:
-        specs = C.build_specs(cfg)
+        load_specs = specs if specs is not None else C.build_specs(cfg)
         params, stats, _ = W.load_darknet_weights(
-            specs, cfg.input_size, args.weights, fold=False,
-            bn_eps=cfg.bn_eps)
-        if not stats:
+            load_specs, cfg.input_size, args.weights, fold=False,
+            bn_eps=cfg.bn_eps,
+            allow_partial=bool(getattr(args, "partial_weights", False)))
+        if not stats and any(
+                getattr(sp, "bn", False) for sp in load_specs):
             raise ValueError("training needs unfolded BN weights")
-        state = state._replace(params=jax.tree.map(np.asarray, params),
-                               batch_stats=jax.tree.map(np.asarray, stats))
+        if getattr(args, "partial_weights", False):
+            # backbone fine-tuning (darknet19_448.conv.23 workflow): keep
+            # the random init for layers the truncated file doesn't cover
+            merged_p = dict(state.params)
+            merged_s = dict(state.batch_stats)
+            merged_p.update(jax.tree.map(np.asarray, params))
+            merged_s.update(jax.tree.map(np.asarray, stats))
+            print(f"loaded {len(params)} weighted layers from "
+                  f"{args.weights} (partial); "
+                  f"{len(merged_p) - len(params)} layers keep init")
+            state = state._replace(params=merged_p, batch_stats=merged_s)
+        else:
+            state = state._replace(
+                params=jax.tree.map(np.asarray, params),
+                batch_stats=jax.tree.map(np.asarray, stats))
 
     restored, start_step = ckpt.restore_train_state(state, args.ckpt_dir)
     if restored is not None:
         state = restored
         print(f"resumed from step {start_step}")
 
-    if args.multiscale and cfg.head == 1:
+    # multi-host input: each process loads a disjoint sample shard and
+    # feeds its local rows of the global batch (shard_batch assembles the
+    # global array with zero cross-host pixel traffic)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        if batch_size % n_proc:
+            raise SystemExit(f"batch size {batch_size} must divide across "
+                             f"{n_proc} processes")
+        samples = samples[jax.process_index()::n_proc]
+        local_batch = batch_size // n_proc
+    else:
+        local_batch = batch_size
+
+    multiscale = bool(getattr(args, "multiscale", False)) or cfg_multiscale
+    if multiscale and cfg.head == 1:
         raise SystemExit("--multiscale is incompatible with v1 (FC-head) "
                          "models: the dense layer fixes the input size "
                          "(darknet's v1-era trainer, examples/yolo.c, has "
                          "no multi-scale either)")
-    loader = DetectionLoader(samples, args.batch_size, cfg.input_size,
+    loader = DetectionLoader(samples, local_batch, cfg.input_size,
                              train=True)
     # one compiled step per input size (multi-scale), darknet resizes the
     # net every 10 batches; XLA compile cache plays that role here
@@ -168,7 +264,8 @@ def run_training(args):
     def step_for(size):
         if size not in steps:
             steps[size] = T.make_sharded_train_step(cfg, tx, mesh,
-                                                    input_size=size)
+                                                    input_size=size,
+                                                    specs=specs, **loss_kw)
         return steps[size]
 
     rng = np.random.default_rng(1)
@@ -176,9 +273,9 @@ def run_training(args):
     step_i = start_step
     t_last = time.time()
     with mesh:
-        while step_i < args.steps:
+        while step_i < total_steps:
             for images, truths in loader.epoch():
-                if args.multiscale and step_i % 10 == 0:
+                if multiscale and step_i % 10 == 0:
                     size = int(rng.choice(MULTISCALE_SIZES))
                     loader.set_size(size)
                 if cfg.head == 0:
@@ -196,9 +293,10 @@ def run_training(args):
                                  f"obj {float(metrics.get('avg_obj', 0)):.3f}")
                     print(f"step {step_i}: cost {float(metrics['cost']):.3f} "
                           f"{extra} "
-                          f"{args.batch_size/dt:.1f} img/s size {images.shape[1]}",
+                          f"{batch_size/dt:.1f} img/s size {images.shape[1]}",
                           flush=True)
-                if step_i % args.save_every == 0:
+                if step_i % args.save_every == 0 and \
+                        jax.process_index() == 0:
                     path = ckpt.save_train_state(state, args.ckpt_dir, step_i)
                     print(f"saved {path}")
                 if val_samples and eval_every and step_i % eval_every == 0:
@@ -208,13 +306,17 @@ def run_training(args):
                         print(f"step {step_i}: val top-1 = {acc:.4f}",
                               flush=True)
                     else:
-                        m = evaluate_model(cfg, C.build_specs(cfg), state,
-                                           val_samples, limit=200,
-                                           detector_cache=det_cache)
+                        m = evaluate_model(
+                            cfg,
+                            specs if specs is not None
+                            else C.build_specs(cfg),
+                            state, val_samples, limit=200,
+                            detector_cache=det_cache)
                         print(f"step {step_i}: val mAP@0.5 = {m['map']:.4f} "
                               f"({m['num_classes_evaluated']} classes)",
                               flush=True)
-                if step_i >= args.steps:
+                if step_i >= total_steps:
                     break
-    ckpt.save_train_state(state, args.ckpt_dir, step_i)
+    if jax.process_index() == 0:
+        ckpt.save_train_state(state, args.ckpt_dir, step_i)
     print("done")
