@@ -141,16 +141,55 @@ def _read_conv_sub(buf, ptr, cin, cout, k, bn, fold, bn_eps, bn_formula):
             None, ptr)
 
 
+def darknet_layer_indices(specs, head: Optional[int] = None):
+    """Spec index -> darknet layer index (or None for specs that emit no
+    darknet section: TransposeFlatten, and the classifier-head Detect
+    marker). The same mapping io/cfg.specs_to_cfg uses when emitting, so
+    ``upto`` cutoffs here count layers exactly as save_weights_upto /
+    load_weights_upto do (src/parser.c:992,1241)."""
+    idx, n = [], 0
+    for sp in specs:
+        if isinstance(sp, S.TransposeFlatten) or \
+                (isinstance(sp, S.Detect) and head == 0):
+            idx.append(None)
+        else:
+            idx.append(n)
+            n += 1
+    return idx
+
+
+def _spec_cutoff(specs, upto: Optional[int], head: Optional[int] = None):
+    """First spec index at/after darknet layer ``upto`` (None = no cut)."""
+    if upto is None:
+        return len(specs)
+    dk = darknet_layer_indices(specs, head)
+    for i, d in enumerate(dk):
+        if d is not None and d >= upto:
+            return i
+    return len(specs)
+
+
 def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                          header_ints: Optional[int] = None,
                          bn_eps: float = 1e-5, fold: bool = True,
                          bn_formula: str = "darknet",
-                         in_channels: int = 3):
+                         in_channels: int = 3,
+                         upto: Optional[int] = None,
+                         allow_partial: bool = False):
     """Parse a .weights stream against ``specs``.
 
     Returns (params, batch_stats, header). When fold=True batch_stats is {}
     and every conv carries {"w","b"}; otherwise BN convs carry
     {"w","gamma","beta"} and their running stats land in batch_stats.
+
+    ``upto``: stop consuming at darknet layer index ``upto`` and ignore any
+    remaining floats — load_weights_upto's cutoff (src/parser.c:1241),
+    mapping a full file's prefix onto this model's matching backbone.
+    ``allow_partial``: accept a file that ENDS at a layer boundary before
+    the spec list does (a ``partial``-truncated backbone like
+    darknet19_448.conv.23, examples/darknet.c:491) — layers past the end
+    of the file are simply absent from the returned pytrees; a file that
+    ends MID-layer still raises WeightsFormatError.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         fp = _io.BytesIO(path_or_bytes)
@@ -165,7 +204,14 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
     batch_stats: Dict[str, Dict[str, np.ndarray]] = {}
     ptr = 0
     prev = (1, input_size, input_size, in_channels)
+    cutoff = _spec_cutoff(specs, upto)
+    stopped_early = cutoff < len(specs)
     for i, spec in enumerate(specs):
+        if i >= cutoff:
+            break
+        if allow_partial and ptr == buf.size and _has_weights(spec):
+            stopped_early = True
+            break
         if isinstance(spec, S.Conv):
             sub, st, ptr = _read_conv_sub(buf, ptr, prev[3], spec.filters,
                                           spec.size, spec.bn, fold, bn_eps,
@@ -241,22 +287,36 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                 batch_stats[layer_key(i)] = sts
         prev = shapes[i]
 
-    if ptr != buf.size:
+    if ptr != buf.size and not stopped_early:
         raise WeightsFormatError(
             f"weights file has {buf.size - ptr} unconsumed floats "
             f"(consumed {ptr}); spec/weights mismatch")
     return params, batch_stats, header
 
 
+def _has_weights(spec) -> bool:
+    return isinstance(spec, (S.Conv, S.Dense, S.Local, S.Deconv,
+                             S.RECURRENT))
+
+
 def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
-                         seen: int = 0, in_channels: int = 3):
+                         seen: int = 0, in_channels: int = 3,
+                         upto: Optional[int] = None):
     """Write params back to darknet .weights (the save_weights_upto
-    equivalent, src/parser.c:992). Requires unfolded BN params for BN convs."""
+    equivalent, src/parser.c:992). Requires unfolded BN params for BN convs.
+
+    ``upto``: emit only the first ``upto`` darknet layers' weights — the
+    ``partial`` command's backbone truncation (examples/darknet.c:491:
+    save_weights_upto(net, outfile, max)), producing pretrain files like
+    darknet19_448.conv.23."""
     shapes = infer_shapes(specs, (1, input_size, input_size, in_channels))
+    cutoff = _spec_cutoff(specs, upto)
     with open(path, "wb") as fp:
         write_header(fp, seen=seen)
         prev = (1, input_size, input_size, in_channels)
         for i, spec in enumerate(specs):
+            if i >= cutoff:
+                break
             key = layer_key(i)
             if isinstance(spec, S.Conv):
                 p = {k: np.asarray(v, np.float32) for k, v in params[key].items()}
