@@ -146,10 +146,13 @@ def _to_darknet_flat(act_nhwc, A, E):
     return act_nhwc.reshape(H, W, A, E).transpose(2, 3, 0, 1).reshape(-1)
 
 
-def test_region_flip_tta_matches_c_transcription(rng):
+@pytest.mark.parametrize("W", [4, 13])
+def test_region_flip_tta_matches_c_transcription(rng, W):
+    """Odd W (13 — the real 416 grid) exercises the C's ``i < w/2`` loop
+    bound: the middle column is never swapped NOR negated."""
     from yolo_tensorflow_tpu.models.heads import activate_v2, region_flip_tta
     cfg = C.get_config("yolov2-tiny-voc")
-    H = W = 4
+    H = W
     A, Cn = cfg.num_anchors, cfg.num_classes
     E = 5 + Cn
     raw = rng.standard_normal((1, H, W, A * E), dtype=np.float32)
@@ -165,6 +168,71 @@ def test_region_flip_tta_matches_c_transcription(rng):
     want = want_flat.reshape(A, E, H, W).transpose(2, 3, 0, 1).reshape(
         H, W, A * E)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+# --------------------------------------------------------------------------
+# v3 flip-TTA (avg_flipped_yolo, yolo_layer.c:290-313; the valid2 eval path
+# validate_detector_flip, examples/detector.c:234)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("W", [4, 13])
+def test_yolo_flip_tta_matches_c_transcription(rng, W):
+    """avg_flipped_yolo has the identical loop structure to the region flip
+    (same misindexed z==0 negation, same odd-width middle-column skip) —
+    pin yolo_flip_tta against the same literal transcription with v3's
+    A=3, E=85 geometry."""
+    from yolo_tensorflow_tpu.models.heads import activate_v3, yolo_flip_tta
+    A, Cn = 3, 80
+    E = 5 + Cn
+    H = W
+    raw = rng.standard_normal((1, H, W, A * E), dtype=np.float32)
+    raw_f = rng.standard_normal((1, H, W, A * E), dtype=np.float32)
+    act = activate_v3(jnp.asarray(raw), A, Cn)
+    act_f = activate_v3(jnp.asarray(raw_f), A, Cn)
+    got = np.asarray(yolo_flip_tta(act, act_f, A, Cn, mode="darknet"))[0]
+    want_flat = _avg_flipped_region_np(
+        _to_darknet_flat(np.asarray(act)[0], A, E),
+        _to_darknet_flat(np.asarray(act_f)[0], A, E), H, W, A, E)
+    want = want_flat.reshape(A, E, H, W).transpose(2, 3, 0, 1).reshape(
+        H, W, A * E)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_v3_tta_detector_end_to_end():
+    """Detector(tta=True) on a v3 head: deterministic bias-only model —
+    corrected-mode TTA must reproduce the single-pass detections (uniform
+    outputs are mirror-symmetric)."""
+    from yolo_tensorflow_tpu.models import engine as E
+    cfg = C.get_config("yolov3-tiny", input_size=64)
+    specs = C.build_specs(cfg)
+    params, _ = E.init_params(specs, (1, 64, 64, 3), jax.random.PRNGKey(0),
+                              folded=True)
+    params = jax.tree.map(lambda a: np.zeros_like(a), params)
+    from yolo_tensorflow_tpu.models import specs as S
+    for i, sp in enumerate(specs):
+        # both scale heads: obj logit 3, class 5 logit 5
+        if isinstance(sp, S.Detect):
+            head = E.layer_key(i - 1)
+            b = np.zeros_like(params[head]["b"])
+            b[4] = 3.0
+            b[5 + 5] = 5.0
+            params[head]["b"] = b
+    from yolo_tensorflow_tpu.pipeline import Detector
+    det = Detector(cfg, params=params, specs=specs, num_candidates=32,
+                   max_detections=5, tta=True, tta_mode="corrected")
+    img = np.full((64, 64, 3), 100, np.uint8)
+    res = det.detect(img)
+    assert res and all(r["class_id"] == 5 for r in res)
+    det0 = Detector(cfg, params=params, specs=specs, num_candidates=32,
+                    max_detections=5)
+    res0 = det0.detect(img)
+    got = sorted(tuple(round(v, 3) for v in r["box"]) for r in res)
+    want = sorted(tuple(round(v, 3) for v in r["box"]) for r in res0)
+    assert got == want
+    # darknet mode also runs end-to-end under jit
+    det_dk = Detector(cfg, params=params, specs=specs, num_candidates=32,
+                      max_detections=5, tta=True, tta_mode="darknet")
+    assert det_dk.detect(img)
 
 
 def test_region_flip_tta_corrected_mode(rng):

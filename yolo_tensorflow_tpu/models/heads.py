@@ -99,14 +99,16 @@ def region_flip_tta(act, act_flipped, cfg: ModelConfig,
     horizontally flipped image — get_region_detections' batch==2 path
     (src/region_layer.c:368-390).
 
-    mode='darknet' is the literal C loop, including BOTH of its quirks:
+    mode='darknet' is the literal C loop, including ALL of its quirks:
     (1) it negates "z==0" under a [entry][anchor][hw] indexing while the
     layer buffer is laid out [anchor][entry][hw] (entry_index,
     region_layer.c:151) — so the planes actually negated are anchor 0's
     first A entries (x,y,w,h,obj for the 5-anchor v2 models), not every
     anchor's x; (2) the negation runs on the ALREADY-ACTIVATED sigmoid
-    values. mode='corrected' mirrors properly: every anchor's x becomes
-    1-sigmoid(tx) (the reflected cell offset) and nothing else is negated.
+    values; (3) the swap loop runs ``i < w/2``, so for ODD widths (13 at
+    416!) the middle column is never negated. mode='corrected' mirrors
+    properly: every anchor's x becomes 1-sigmoid(tx) (the reflected cell
+    offset) and nothing else is negated.
 
     Both inputs/outputs are (B, H, W, A*(5+C)) activated tensors.
     """
@@ -115,16 +117,27 @@ def region_flip_tta(act, act_flipped, cfg: ModelConfig,
     E = 5 + C
     flip = act_flipped.reshape(B, H, W, A, E)[:, :, ::-1]   # column swap
     if mode == "darknet":
-        # negate true-layout planes p = a*E + e with p < A (the C's z==0)
-        plane = (jax.lax.broadcasted_iota(jnp.int32, (A, E), 0) * E
-                 + jax.lax.broadcasted_iota(jnp.int32, (A, E), 1))
-        flip = jnp.where(plane < A, -flip, flip)
+        flip = _negate_flip_planes(flip, A, E, W)
     elif mode == "corrected":
         flip = flip.at[..., 0].set(1.0 - flip[..., 0])
     else:
         raise ValueError(mode)
     avg = (act.reshape(B, H, W, A, E) + flip) / 2.0
     return avg.reshape(B, H, W, A * E)
+
+
+def _negate_flip_planes(flip, A, E, W):
+    """The C flip loops' negation (region_layer.c:379, yolo_layer.c:303):
+    negate true-layout planes p = a*E + e with p < A (its 'z==0' under the
+    wrong indexing) — EXCEPT the middle column when W is odd, which the
+    ``i < w/2`` loop never touches. flip: (B, H, W, A, E)."""
+    plane = (jax.lax.broadcasted_iota(jnp.int32, (A, E), 0) * E
+             + jax.lax.broadcasted_iota(jnp.int32, (A, E), 1))
+    neg = (plane < A)[None, None, None, :, :]
+    if W % 2 == 1:
+        col = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+        neg = neg & (col != W // 2)[None, None, :, None, None]
+    return jnp.where(neg, -flip, flip)
 
 
 def decode_v2_activated(act, cfg: ModelConfig):
@@ -148,6 +161,82 @@ def decode_v2_activated(act, cfg: ModelConfig):
     n = H * W * A
     return (boxes_xywh.reshape(batch, n, 4), conf.reshape(batch, n),
             class_probs.reshape(batch, n, C))
+
+
+def activate_v3(feat, num_anchors: int, num_classes: int):
+    """Yolo-layer activation (forward_yolo_layer, src/yolo_layer.c:132-144
+    / :352-361 GPU): sigmoid on xy, obj and classes; raw wh. (B,H,W,A*(5+C))
+    -> same shape, activated — the l.output buffer get_yolo_detections
+    reads."""
+    A, C = num_anchors, num_classes
+    B, H, W, _ = feat.shape
+    det = feat.astype(jnp.float32).reshape(B, H, W, A, 5 + C)
+    out = jnp.concatenate([
+        jax.nn.sigmoid(det[..., 0:2]), det[..., 2:4],
+        jax.nn.sigmoid(det[..., 4:])], -1)
+    return out.reshape(B, H, W, A * (5 + C))
+
+
+def yolo_flip_tta(act, act_flipped, num_anchors: int, num_classes: int,
+                  mode: str = "darknet"):
+    """Average an activated yolo-scale output with the activated output of
+    the horizontally flipped image — avg_flipped_yolo
+    (src/yolo_layer.c:290-313), run by get_yolo_detections when batch==2
+    (the validate_detector_flip 'valid2' eval, examples/detector.c:234).
+
+    The C loop is structurally identical to the region one, with the same
+    three quirks (see region_flip_tta): under the true [anchor][entry]
+    layout the negated planes p < A are anchor 0's x,y,w entries for the
+    3-anchor-per-scale v3 heads, the negation acts on activated values,
+    and the odd-width middle column is skipped. mode='corrected' mirrors
+    properly instead (every anchor's x -> 1-sigmoid(tx)).
+
+    act, act_flipped: (B, H, W, A*(5+C)) activated tensors.
+    """
+    A, C = num_anchors, num_classes
+    B, H, W, _ = act.shape
+    E = 5 + C
+    flip = act_flipped.reshape(B, H, W, A, E)[:, :, ::-1]
+    if mode == "darknet":
+        flip = _negate_flip_planes(flip, A, E, W)
+    elif mode == "corrected":
+        flip = flip.at[..., 0].set(1.0 - flip[..., 0])
+    else:
+        raise ValueError(mode)
+    avg = (act.reshape(B, H, W, A, E) + flip) / 2.0
+    return avg.reshape(B, H, W, A * E)
+
+
+def decode_v3_scale_activated(act, anchors_px, input_size: int,
+                              num_classes: int):
+    """decode_v3_scale for an ALREADY-ACTIVATED (possibly TTA-averaged)
+    yolo output: xy/conf/classes are sigmoids already, wh still raw.
+    Returns (boxes_xywh (B,N,4), scores (B,N), labels (B,N)) with
+    score = conf * best class prob (get_yolo_detections' objectness*prob,
+    src/yolo_layer.c:334-338)."""
+    A, C = len(anchors_px), num_classes
+    batch, Gh, Gw, _ = act.shape
+    det = act.astype(jnp.float32).reshape(batch, Gh * Gw, A, 5 + C)
+    xy = det[..., 0:2]
+    wh = jnp.exp(det[..., 2:4])
+    conf = det[..., 4]
+    probs = det[..., 5:]
+    col = jax.lax.broadcasted_iota(jnp.float32, (Gh, Gw), 1) \
+        .reshape(1, Gh * Gw, 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (Gh, Gw), 0) \
+        .reshape(1, Gh * Gw, 1)
+    stride = input_size // Gh
+    anchors = jnp.asarray(anchors_px, jnp.float32) / stride
+    bx = (col + xy[..., 0]) / Gw
+    by = (row + xy[..., 1]) / Gh
+    bw = anchors[:, 0] * wh[..., 0] / Gw
+    bh = anchors[:, 1] * wh[..., 1] / Gh
+    boxes = jnp.stack([bx, by, bw, bh], -1)
+    scores = conf * jnp.max(probs, axis=-1)
+    labels = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    n = Gh * Gw * A
+    return (boxes.reshape(batch, n, 4), scores.reshape(batch, n),
+            labels.reshape(batch, n))
 
 
 def decode_v3_scale(feat, anchors_px, input_size: int, num_classes: int,

@@ -57,13 +57,40 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
     if fused_decode is None:
         fused_decode = False
 
-    if tta and cfg.head != 2:
-        raise ValueError("flip-TTA is a region-layer (v2) capability "
-                         "(get_region_detections, region_layer.c:368)")
+    if tta and cfg.head not in (2, 3):
+        raise ValueError("flip-TTA is a region/yolo-layer capability "
+                         "(get_region_detections region_layer.c:368; "
+                         "avg_flipped_yolo yolo_layer.c:290)")
 
     def forward(params, images_uint8):
         x = normalize_images(images_uint8, cfg,
                              compute_dtype or jnp.float32)
+        if tta and cfg.head == 3:
+            # v3 flip-TTA (validate_detector_flip, examples/detector.c:234:
+            # batch-2 image+mirror, per-scale avg_flipped_yolo averaging of
+            # the activated outputs before decode)
+            B = x.shape[0]
+            x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+            dets2, _ = engine.apply(specs, params, x2, bn_eps=cfg.bn_eps,
+                                    compute_dtype=compute_dtype)
+            boxes_p, scores_p, labels_p = [], [], []
+            for feat2, det in dets2:
+                anchors = [cfg.anchors[i] for i in det.anchor_mask]
+                act = heads.activate_v3(feat2, len(anchors),
+                                        cfg.num_classes)
+                avg = heads.yolo_flip_tta(act[:B], act[B:], len(anchors),
+                                          cfg.num_classes, mode=tta_mode)
+                bx, sc, lb = heads.decode_v3_scale_activated(
+                    avg, anchors, cfg.input_size, cfg.num_classes)
+                boxes_p.append(bx)
+                scores_p.append(sc)
+                labels_p.append(lb)
+            boxes = heads.xywh_to_xyxy(jnp.concatenate(boxes_p, axis=1))
+            return NMS.batched_nms_scored(
+                boxes, jnp.concatenate(scores_p, axis=1),
+                jnp.concatenate(labels_p, axis=1), conf_threshold=conf_t,
+                iou_threshold=iou_t, max_detections=max_det,
+                num_candidates=num_candidates, class_aware=class_aware)
         if tta:
             # flip-TTA (get_region_detections batch==2 averaging): run the
             # image and its mirror through one doubled batch, average the
@@ -127,15 +154,17 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
                    else class_aware_nms)
     S = cfg.input_size
 
+    # fold the per-model normalization (normalize_images' contract) into
+    # the letterbox interpolation itself — zero extra passes
+    if cfg.normalization == "symmetric":
+        rescale, offset = 2.0, -1.0
+    else:
+        rescale, offset = 255.0 / cfg.input_scale, 0.0
+
     def forward(params, canvas_uint8, sizes):
         x = P.letterbox_device_batch(canvas_uint8, sizes, S,
-                                     compute_dtype=letterbox_dtype)
-        # letterbox output is already x/255; rescale for the per-model
-        # normalization contract (normalize_images)
-        if cfg.normalization == "symmetric":
-            x = x * 2.0 - 1.0
-        elif cfg.input_scale != 255.0:
-            x = x * (255.0 / cfg.input_scale)
+                                     compute_dtype=letterbox_dtype,
+                                     rescale=rescale, offset=offset)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
         dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
@@ -153,6 +182,107 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
         return out._replace(boxes=boxes_px)
 
     return forward
+
+
+def make_forward_smoothed(cfg: C.ModelConfig, specs, avg_frames: int, *,
+                          compute_dtype=None, num_candidates: int = 256,
+                          max_detections: Optional[int] = None,
+                          conf_threshold: Optional[float] = None,
+                          iou_threshold: Optional[float] = None,
+                          class_aware_nms: Optional[bool] = None):
+    """Temporal-smoothing forward for streaming — demo.c's rolling
+    prediction average (src/demo.c:31,67-78: remember_network keeps the
+    last demo_frame=3 activated head outputs, avg_predictions means them
+    before get_network_boxes).
+
+    (params, images (B,S,S,3) u8, tails) -> (Detections, new_tails) where
+    ``tails`` holds the previous (avg_frames-1) frames' activated head
+    outputs per scale, so the average slides across batch boundaries.
+    Frame j is decoded from mean(act[j-N+1 .. j]); startup tails are zeros
+    (darknet calloc's the prediction buffers, so its first frames average
+    with zeros too). Everything — activation, sliding mean, decode, NMS —
+    is one compiled program.
+    """
+    from yolo_tensorflow_tpu.models import specs as S
+    max_det = cfg.max_detections if max_detections is None else max_detections
+    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
+    iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
+    class_aware = (cfg.class_aware_nms if class_aware_nms is None
+                   else class_aware_nms)
+    N = int(avg_frames)
+    if N < 2:
+        raise ValueError("avg_frames must be >= 2 (darknet demo_frame=3)")
+
+    def forward(params, images_uint8, tails):
+        x = normalize_images(images_uint8, cfg,
+                             compute_dtype or jnp.float32)
+        dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
+                               compute_dtype=compute_dtype)
+        B = images_uint8.shape[0]
+        acts, det_specs = [], []
+        for feat, det in dets:
+            if cfg.head == 3:
+                acts.append(heads.activate_v3(feat, len(det.anchor_mask),
+                                              cfg.num_classes))
+            elif cfg.head == 2:
+                acts.append(heads.activate_v2(feat, cfg))
+            else:  # v1 detection layer output is linear — buffer as-is
+                acts.append(feat.astype(jnp.float32))
+            det_specs.append(det)
+        full = [jnp.concatenate([t, a], axis=0)
+                for t, a in zip(tails, acts)]          # (N-1+B, ...)
+        smoothed = [sum(f[k:k + B] for k in range(N)) / N for f in full]
+        new_tails = tuple(f[B:] for f in full)         # last N-1 frames
+        if cfg.head == 3:
+            bp, sp, lp = [], [], []
+            for avg, det in zip(smoothed, det_specs):
+                anchors = [cfg.anchors[i] for i in det.anchor_mask]
+                b, s, l = heads.decode_v3_scale_activated(
+                    avg, anchors, cfg.input_size, cfg.num_classes)
+                bp.append(b)
+                sp.append(s)
+                lp.append(l)
+            boxes = heads.xywh_to_xyxy(jnp.concatenate(bp, axis=1))
+            out = NMS.batched_nms_scored(
+                boxes, jnp.concatenate(sp, axis=1),
+                jnp.concatenate(lp, axis=1), conf_threshold=conf_t,
+                iou_threshold=iou_t, max_detections=max_det,
+                num_candidates=num_candidates, class_aware=class_aware)
+        elif cfg.head == 2:
+            (avg,) = smoothed
+            boxes_xywh, conf, probs = heads.decode_v2_activated(avg, cfg)
+            out = NMS.batched_nms(
+                heads.xywh_to_xyxy(boxes_xywh), conf, probs,
+                conf_threshold=conf_t, iou_threshold=iou_t,
+                max_detections=max_det, num_candidates=num_candidates,
+                class_aware=class_aware)
+        else:
+            (avg,) = smoothed
+            boxes_xywh, conf, probs = heads.decode_v1(avg, cfg)
+            out = NMS.batched_nms(
+                heads.xywh_to_xyxy(boxes_xywh), conf, probs,
+                conf_threshold=conf_t, iou_threshold=iou_t,
+                max_detections=max_det, num_candidates=num_candidates,
+                class_aware=class_aware)
+        return out, new_tails
+
+    return forward
+
+
+def smooth_state_shapes(cfg: C.ModelConfig, specs, batch_size: int,
+                        avg_frames: int):
+    """Zero initial tails for make_forward_smoothed: one (N-1, ...) array
+    per detection head output."""
+    from yolo_tensorflow_tpu.models import specs as S
+    shapes = engine.infer_shapes(
+        specs, (batch_size, cfg.input_size, cfg.input_size, 3))
+    tails = []
+    for i, sp in enumerate(specs):
+        if isinstance(sp, S.Detect):
+            shp = shapes[i]
+            tails.append(np.zeros((avg_frames - 1,) + tuple(shp[1:]),
+                                  np.float32))
+    return tuple(tails)
 
 
 class Detector:
@@ -179,9 +309,10 @@ class Detector:
         self.fused = fused and letterbox
         nms_keys = {"num_candidates", "max_detections", "conf_threshold",
                     "iou_threshold", "class_aware_nms", "fused_decode",
-                    "tta", "tta_mode", "score_dtype"}
+                    "tta", "tta_mode", "score_dtype", "letterbox_dtype"}
         nms_kwargs = {k: overrides.pop(k) for k in list(overrides)
                       if k in nms_keys}
+        letterbox_dtype = nms_kwargs.pop("letterbox_dtype", None)
         specs = overrides.pop("specs", None)
         if isinstance(model, C.ModelConfig):
             # arbitrary-cfg models (config_from_cfg) — not in the registry
@@ -201,6 +332,12 @@ class Detector:
                 header_ints=None, bn_eps=self.cfg.bn_eps, fold=True)
         self.params = jax.device_put(
             jax.tree.map(jnp.asarray, params))
+        self._compute_dtype = compute_dtype
+        self._smooth_kwargs = {k: v for k, v in nms_kwargs.items()
+                               if k in ("num_candidates", "max_detections",
+                                        "conf_threshold", "iou_threshold",
+                                        "class_aware_nms")}
+        self._smooth_jits = {}
         fwd = make_forward(self.cfg, self.specs,
                            compute_dtype=compute_dtype, **nms_kwargs)
         if self.fused:
@@ -209,11 +346,19 @@ class Detector:
                 raise ValueError("tta=True is not supported with the fused "
                                  "letterbox path yet; use fused=False")
             nms_kwargs.pop("tta_mode", None)
+            if letterbox_dtype is None and self._narrow_serving(
+                    compute_dtype):
+                # bf16 letterbox is the default whenever the model itself
+                # computes narrow (bf16/int8 serving): pixels are bf16-
+                # exact, only interpolation weights round — argued and
+                # test-pinned within 2/255 of the C (test_preprocess);
+                # pass letterbox_dtype=jnp.float32 for the bit-exact path
+                letterbox_dtype = jnp.bfloat16
             # jit caches one executable per canvas shape; detect() rounds
             # canvases up to 256-px buckets to bound recompiles
             self._jit_fused = jax.jit(make_forward_letterbox(
                 self.cfg, self.specs, compute_dtype=compute_dtype,
-                **nms_kwargs))
+                letterbox_dtype=letterbox_dtype, **nms_kwargs))
         self.mesh = mesh
         if mesh is not None:
             # scale-out batched serving: params replicated, images sharded
@@ -227,6 +372,15 @@ class Detector:
         else:
             self._jit_forward = jax.jit(
                 fwd, donate_argnums=(1,) if donate else ())
+
+    def _narrow_serving(self, compute_dtype) -> bool:
+        """True when the model computes in a narrow dtype (bf16 compute or
+        int8-quantized params) — the serving modes where the bf16 letterbox
+        default applies."""
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            return True
+        return any(isinstance(v, dict) and "w_q" in v
+                   for v in self.params.values())
 
     # -- single image ------------------------------------------------------
     def detect(self, image: np.ndarray):
@@ -290,6 +444,25 @@ class Detector:
         (B, 2) int32 [h, w]. Boxes in each image's original pixels."""
         return self._jit_fused(self.params, canvas_uint8,
                                np.asarray(sizes, np.int32))
+
+    def detect_batch_smoothed(self, images_uint8, state=None, *,
+                              avg_frames: int = 3):
+        """Rolling-average streaming detection (demo.c:67-78
+        avg_predictions): decode each frame from the mean of the last
+        ``avg_frames`` activated head outputs. ``state`` carries the tail
+        frames across calls (None = zeros, darknet's calloc'd buffers);
+        returns (Detections, new_state). Frames must be consecutive in
+        batch order."""
+        import jax as _jax
+        key = (avg_frames, images_uint8.shape[0])
+        if key not in self._smooth_jits:
+            self._smooth_jits[key] = _jax.jit(make_forward_smoothed(
+                self.cfg, self.specs, avg_frames,
+                compute_dtype=self._compute_dtype, **self._smooth_kwargs))
+        if state is None:
+            state = smooth_state_shapes(self.cfg, self.specs,
+                                        images_uint8.shape[0], avg_frames)
+        return self._smooth_jits[key](self.params, images_uint8, state)
 
     # -- batched ------------------------------------------------------------
     def detect_batch(self, images_uint8) -> NMS.Detections:
