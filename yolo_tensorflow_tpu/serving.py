@@ -55,9 +55,15 @@ def frame_source(source, size: int, loops: int = 1) -> Iterator[np.ndarray]:
 
 
 def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
-                  prefetch: int = 3, on_batch=None, max_batches: int = 0):
+                  prefetch: int = 3, on_batch=None, max_batches: int = 0,
+                  avg_frames: int = 0):
     """Run the fetch/detect pipeline. ``on_batch(dets, images)`` is called
-    per batch (e.g. to draw); returns (frames, wall_seconds, fps)."""
+    per batch (e.g. to draw); returns (frames, wall_seconds, fps).
+
+    ``avg_frames`` >= 2 enables demo.c's rolling prediction average
+    (src/demo.c:31,67-78, demo_frame=3): each frame is decoded from the
+    mean of the last N activated head outputs, smoothing detections over
+    time; the tail state slides across batch boundaries."""
     size = detector.cfg.input_size
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     SENTINEL = None
@@ -98,6 +104,7 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
 
     frames = 0
     batches = 0
+    smooth_state = None
     t0 = time.perf_counter()
     while True:
         item = q.get()
@@ -107,7 +114,11 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
             images, valid = item
         else:
             images, valid = item, item.shape[0]
-        dets = detector.detect_batch(images)
+        if avg_frames and avg_frames > 1:
+            dets, smooth_state = detector.detect_batch_smoothed(
+                images, smooth_state, avg_frames=avg_frames)
+        else:
+            dets = detector.detect_batch(images)
         if on_batch is not None:
             on_batch(dets, images[:valid])
         else:
