@@ -154,3 +154,45 @@ def test_letterbox_bf16_serving_knob(rng):
     fast = np.asarray(letterbox_device(jnp.asarray(canvas), 48, 40, 64,
                                        compute_dtype=jnp.bfloat16))
     assert np.abs(exact - fast).max() < 2.0 / 255.0
+
+
+@pytest.mark.parametrize("rescale,offset", [(255.0 / 225.0, 0.0),
+                                            (2.0, -1.0)])
+def test_letterbox_normalization_folding(rng, rescale, offset):
+    """rescale/offset folded into the letterbox must equal the former
+    two-pass form (letterbox then x*r+c) — exactly in f32 (same op order),
+    within a weight quantum in bf16 (where r folds into the interpolation
+    matrix)."""
+    import jax.numpy as jnp
+    from yolo_tensorflow_tpu.ops.preprocess import letterbox_device
+    canvas = np.zeros((64, 64, 3), np.uint8)
+    canvas[:48, :40] = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+    base = np.asarray(letterbox_device(jnp.asarray(canvas), 48, 40, 64))
+    want = base * np.float32(rescale) + np.float32(offset)
+    got = np.asarray(letterbox_device(jnp.asarray(canvas), 48, 40, 64,
+                                      rescale=rescale, offset=offset))
+    np.testing.assert_array_equal(got, want)
+    got_bf = np.asarray(letterbox_device(jnp.asarray(canvas), 48, 40, 64,
+                                         compute_dtype=jnp.bfloat16,
+                                         rescale=rescale, offset=offset))
+    assert np.abs(got_bf - want).max() < 2.0 * rescale / 255.0
+
+
+def test_bf16_letterbox_default_for_narrow_serving():
+    """Detector(fused, bf16) defaults the letterbox to bf16; explicit
+    letterbox_dtype=float32 restores the bit-exact path. Both must agree
+    on the deterministic model's detections."""
+    import jax.numpy as jnp
+    det_bf = _deterministic_detector(letterbox=True, fused=True,
+                                     compute_dtype=jnp.bfloat16)
+    det_f32 = _deterministic_detector(letterbox=True, fused=True,
+                                      compute_dtype=jnp.bfloat16,
+                                      letterbox_dtype=jnp.float32)
+    img = np.full((96, 160, 3), 77, np.uint8)
+    a = det_bf.detect(img)
+    b = det_f32.detect(img)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["class_id"] == rb["class_id"]
+        assert abs(ra["score"] - rb["score"]) < 2e-3
+        np.testing.assert_allclose(ra["box"], rb["box"], atol=1.0)

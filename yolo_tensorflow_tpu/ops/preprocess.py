@@ -39,10 +39,15 @@ def letterbox_geometry(img_w, img_h, out_size: int):
 
 
 def letterbox_device(canvas_u8, img_h, img_w, out_size: int,
-                     compute_dtype=None):
+                     compute_dtype=None, rescale: float = 1.0,
+                     offset: float = 0.0):
     """One image: (Hc, Wc, 3) uint8 canvas whose top-left [0:h, 0:w] holds
-    the real pixels + traced (h, w) -> (S, S, 3) float32 in [0, 1],
-    bit-matching letterbox_image(resize_image(im)) up to float association.
+    the real pixels + traced (h, w) -> (S, S, 3) float32, bit-matching
+    rescale * letterbox_image(resize_image(im)) + offset up to float
+    association. ``rescale``/``offset`` fold the per-model normalization
+    (255/input_scale for 'unit', (2, -1) for v1's symmetric) into the
+    letterbox so the fused serving path does zero extra passes; the pad
+    region becomes 0.5*rescale + offset (darknet fills with .5 normalized).
 
     TPU formulation: the separable bilinear is TWO MATMULS against one-hot
     interpolation matrices (each output row/column has at most two source
@@ -56,7 +61,6 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int,
     """
     S = out_size
     Hc, Wc = canvas_u8.shape[0], canvas_u8.shape[1]
-    x = canvas_u8.astype(jnp.float32) / 255.0
     h = jnp.asarray(img_h, jnp.int32)
     w = jnp.asarray(img_w, jnp.int32)
     new_w, new_h, px, py = letterbox_geometry(w, h, S)
@@ -107,35 +111,45 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int,
 
     # horizontal pass then vertical pass (resize_image's loop order).
     # compute_dtype=bfloat16 is a serving knob (+~10% on the fused
-    # pipeline): pixel values (8-bit) are bf16-exact and the accumulate
-    # stays f32, so only the interpolation WEIGHTS round (<=2^-9 relative
-    # — under a quantum of the uint8 input, and far under int8
-    # quantization noise). Default f32 HIGHEST bit-matches the C.
+    # pipeline): the RAW uint8 canvas is the bf16 operand (integers up to
+    # 256 are bf16-exact — no pixel rounding), the /255 normalization and
+    # ``rescale`` fold into the column interpolation matrix, and both
+    # accumulations stay f32 — so only the interpolation WEIGHTS and the
+    # inter-pass intermediate round (<=2^-8 relative, under a quantum of
+    # the uint8 input and far under int8 quantization noise). Default f32
+    # HIGHEST bit-matches the C.
     if compute_dtype is not None and compute_dtype != jnp.float32:
         # downcast the inter-pass intermediate at the producer (fuses into
-        # the first matmul's epilogue -> half the HBM round trip); the
-        # consumer would cast it anyway, so numerics are unchanged
-        part = jnp.einsum("hwc,sw->hsc", x.astype(compute_dtype),
-                          Cm.astype(compute_dtype),
+        # the first matmul's epilogue -> half the HBM round trip)
+        part = jnp.einsum("hwc,sw->hsc", canvas_u8.astype(compute_dtype),
+                          (Cm * (rescale / 255.0)).astype(compute_dtype),
                           preferred_element_type=jnp.float32) \
             .astype(compute_dtype)
         val = jnp.einsum("rh,hsc->rsc", Rm.astype(compute_dtype), part,
                          preferred_element_type=jnp.float32)
     else:
+        x = canvas_u8.astype(jnp.float32) / 255.0
         part = jnp.einsum("hwc,sw->hsc", x, Cm,
                           precision=jax.lax.Precision.HIGHEST)  # (Hc,S,3)
         val = jnp.einsum("rh,hsc->rsc", Rm, part,
                          precision=jax.lax.Precision.HIGHEST)   # (S,S,3)
+        if rescale != 1.0:
+            # post-multiply (not matrix-folded) so rescale=1 stays the
+            # bit-exact C parity path and rescale!=1 rounds exactly like
+            # the former separate normalization pass did
+            val = val * rescale
     inside = in_r[:, None] & in_c[None, :]
-    return jnp.where(inside[..., None], val, 0.5)
+    out = jnp.where(inside[..., None], val, 0.5 * rescale)
+    return out + offset if offset != 0.0 else out
 
 
 def letterbox_device_batch(canvas_u8, sizes, out_size: int,
-                           compute_dtype=None):
+                           compute_dtype=None, rescale: float = 1.0,
+                           offset: float = 0.0):
     """(B, Hc, Wc, 3) uint8 + (B, 2) int32 [h, w] -> (B, S, S, 3) f32."""
     return jax.vmap(lambda c, s: letterbox_device(
-        c, s[0], s[1], out_size, compute_dtype=compute_dtype))(
-        canvas_u8, sizes)
+        c, s[0], s[1], out_size, compute_dtype=compute_dtype,
+        rescale=rescale, offset=offset))(canvas_u8, sizes)
 
 
 def unmap_boxes_device(boxes_xyxy_norm, img_h, img_w, out_size: int):
