@@ -347,11 +347,75 @@ def test_v1_delta_matches_oracle(sqrt, rescore, rng):
     grid = np.asarray(losses.build_v1_truth_grid(
         jnp.asarray(truths)[None], Cn, S))[0]
 
-    delta, met = losses._v1_delta(jnp.asarray(pred), jnp.asarray(grid),
-                                  hy, S, n, Cn)
+    delta, met = losses._v1_delta(
+        jnp.asarray(pred), jnp.asarray(grid),
+        jnp.zeros((S * S,), jnp.int32), jnp.asarray(False),
+        hy, S, n, Cn)
     want = _v1_delta_oracle(pred, grid, hy, S, n, Cn)
     np.testing.assert_allclose(np.asarray(delta), want, rtol=2e-4, atol=3e-5)
     assert float(met["count"]) == float(grid[:, 0].sum())
+
+
+def test_v1_forced_and_random_responsibility(rng):
+    """detection_layer.c:137-145: forced pins box 1 for small truths /
+    box 0 for large ones; random draws uniformly while seen<64000 and is
+    inert afterwards."""
+    S, n, Cn = 4, 2, 5
+    pred = rng.standard_normal((S * S * (Cn + n * 5),)).astype(np.float32)
+    truths = _sample_truths(rng, 4, 3, Cn)
+    grid = np.asarray(losses.build_v1_truth_grid(
+        jnp.asarray(truths)[None], Cn, S))[0]
+    locs = S * S
+    zero_idx = jnp.zeros((locs,), jnp.int32)
+
+    # forced: the responsible box's coord delta must sit at index
+    # 1 (area < .1) or 0 per truth area, regardless of IoU
+    hy_f = losses.DetectionHyper(forced=True)
+    delta, _ = losses._v1_delta(jnp.asarray(pred), jnp.asarray(grid),
+                                zero_idx, jnp.asarray(False), hy_f, S, n, Cn)
+    db = np.asarray(delta)[locs * (Cn + n):].reshape(locs, n, 4)
+    for i in range(locs):
+        if grid[i, 0] == 0:
+            continue
+        area = grid[i, 3 + Cn] * grid[i, 4 + Cn]
+        want_j = 1 if area < 0.1 else 0
+        assert np.any(db[i, want_j] != 0)
+        assert np.all(db[i, 1 - want_j] == 0)
+
+    # random: with use_random=True the given indices are authoritative
+    hy_r = losses.DetectionHyper(random=True)
+    ridx = jnp.asarray(rng.integers(0, n, locs), jnp.int32)
+    delta_r, _ = losses._v1_delta(jnp.asarray(pred), jnp.asarray(grid),
+                                  ridx, jnp.asarray(True), hy_r, S, n, Cn)
+    db_r = np.asarray(delta_r)[locs * (Cn + n):].reshape(locs, n, 4)
+    for i in range(locs):
+        if grid[i, 0] == 0:
+            continue
+        j = int(ridx[i])
+        assert np.any(db_r[i, j] != 0)
+        assert np.all(db_r[i, 1 - j] == 0)
+
+    # past the warmup (use_random=False) random is inert
+    delta_off, _ = losses._v1_delta(jnp.asarray(pred), jnp.asarray(grid),
+                                    ridx, jnp.asarray(False), hy_r,
+                                    S, n, Cn)
+    base, _ = losses._v1_delta(jnp.asarray(pred), jnp.asarray(grid),
+                               zero_idx, jnp.asarray(False),
+                               losses.DetectionHyper(), S, n, Cn)
+    np.testing.assert_array_equal(np.asarray(delta_off), np.asarray(base))
+
+    # end-to-end: yolo_v1_loss with seen gating (traced counter)
+    cfg = C.get_config("yolov1-tiny")
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, grid=S, boxes_per_cell=n,
+                      custom_classes=tuple(f"c{i}" for i in range(Cn)))
+    loss_warm, _ = losses.yolo_v1_loss(
+        jnp.asarray(pred)[None], jnp.asarray(truths)[None], cfg,
+        hyper=hy_r, seen=jnp.int32(100))
+    loss_done, _ = losses.yolo_v1_loss(
+        jnp.asarray(pred)[None], jnp.asarray(truths)[None], cfg,
+        hyper=hy_r, seen=jnp.int32(64000))
+    assert np.isfinite(float(loss_warm)) and np.isfinite(float(loss_done))
 
 
 def test_v1_truth_grid():
@@ -382,6 +446,8 @@ def test_v1_loss_gradient_is_minus_delta(rng):
     grids = losses.build_v1_truth_grid(jnp.asarray(truths), Cn, S)
     for b in range(2):
         delta, _ = losses._v1_delta(jnp.asarray(pred[b]), grids[b],
+                                    jnp.zeros((S * S,), jnp.int32),
+                                    jnp.asarray(False),
                                     losses.DetectionHyper(), S, n, Cn)
         np.testing.assert_allclose(grad[b], -np.asarray(delta) / 2,
                                    rtol=1e-4, atol=1e-7)

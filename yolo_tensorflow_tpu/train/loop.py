@@ -196,7 +196,8 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
     if cfg.head == 1:
         (pred_flat,) = raw_scales
         hyper = detection_hyper or losses.DetectionHyper()
-        return losses.yolo_v1_loss(pred_flat, truths, cfg, hyper=hyper)
+        return losses.yolo_v1_loss(pred_flat, truths, cfg, hyper=hyper,
+                                   seen=seen)
     if cfg.head == 0:
         (probs,) = raw_scales
         return losses.classifier_loss(probs, truths.astype(jnp.int32))

@@ -589,9 +589,11 @@ def yolo_v2_region_loss(raw, truths, cfg, *, seen=None,
 @dataclasses.dataclass(frozen=True)
 class DetectionHyper:
     """[detection] section options (parse_detection, src/parser.c:393-415).
-    Defaults are upstream yolov1.cfg's trained values. ``random`` (random
-    responsibility while seen<64000, detection_layer.c:143) and ``forced``
-    are not implemented — both default to 0 in every shipped v1 cfg."""
+    Defaults are upstream yolov1.cfg's trained values. ``forced`` pins
+    responsibility by truth area (detection_layer.c:137-142); ``random``
+    randomizes it while seen<64000 (:143-145) — drawn from a counter-keyed
+    PRNG rather than the C's global rand() stream (same distribution,
+    reproducible). Both default to 0 in every shipped v1 cfg."""
     object_scale: float = 1.0
     noobject_scale: float = 0.5
     class_scale: float = 1.0
@@ -599,6 +601,8 @@ class DetectionHyper:
     sqrt: bool = True
     rescore: bool = True
     softmax: bool = False
+    forced: bool = False
+    random: bool = False
 
     @classmethod
     def from_options(cls, opts):
@@ -607,7 +611,7 @@ class DetectionHyper:
                       "coord_scale"):
             if field in opts:
                 kw[field] = float(opts[field])
-        for field in ("sqrt", "rescore", "softmax"):
+        for field in ("sqrt", "rescore", "softmax", "forced", "random"):
             if field in opts:
                 kw[field] = bool(int(opts[field]))
         return cls(**kw)
@@ -644,12 +648,15 @@ def build_v1_truth_grid(truths, num_classes: int, side: int):
     return jax.vmap(one)(truths)
 
 
-def _v1_delta(pred, truth_grid, hyper: DetectionHyper, side: int,
+def _v1_delta(pred, truth_grid, rand_idx, use_random,
+              hyper: DetectionHyper, side: int,
               num_boxes: int, num_classes: int):
     """Per-image delta, transcribing forward_detection_layer
     (src/detection_layer.c:50-222). pred: flat (S*S*C + S*S*n + S*S*n*4)
     raw FC output in darknet order [class probs | confidences | boxes];
-    truth_grid: (S*S, 1+C+4) from build_v1_truth_grid."""
+    truth_grid: (S*S, 1+C+4) from build_v1_truth_grid; rand_idx (locs,)
+    int32 + use_random (scalar bool) drive the ``random`` responsibility
+    override (detection_layer.c:143-145)."""
     S, n, C = side, num_boxes, num_classes
     locs = S * S
     probs = pred[:locs * C].reshape(locs, C)
@@ -691,6 +698,16 @@ def _v1_delta(pred, truth_grid, hyper: DetectionHyper, side: int,
         best_rmse = jnp.where(pick & ~cond, rmse_j, best_rmse)
     best = jnp.maximum(best_index, 0)
 
+    # responsibility overrides (applied BEFORE sel/iou/conf like the C,
+    # which recomputes out/iou from the overridden box_index):
+    # forced (detection_layer.c:137-142): small truths -> box 1, else box 0;
+    # random (:143-145): uniform draw while seen < 64000
+    if hyper.forced:
+        best = jnp.where(t_box[:, 2] * t_box[:, 3] < 0.1, 1, 0) \
+            .astype(jnp.int32)
+    if hyper.random:
+        best = jnp.where(use_random, rand_idx, best)
+
     sel = jax.nn.one_hot(best, n) * is_obj[:, None]              # (locs,n)
     iou_best = jnp.take_along_axis(ious, best[:, None], 1)[:, 0]
     conf_best = jnp.take_along_axis(confs, best[:, None], 1)[:, 0]
@@ -723,17 +740,28 @@ def _v1_delta(pred, truth_grid, hyper: DetectionHyper, side: int,
 
 
 def yolo_v1_loss(pred_flat, truths, cfg, *,
-                 hyper: DetectionHyper = DetectionHyper()):
+                 hyper: DetectionHyper = DetectionHyper(), seen=None):
     """Darknet-exact v1 training loss (forward_detection_layer,
     src/detection_layer.c:50). pred_flat: (B, S*S*(C+n*5)) raw FC output;
     truths: (B, T, 5) normalized padded boxes (converted to the dense grid
-    internally). Loss value is sum(delta^2), gradient -delta/batch."""
+    internally). Loss value is sum(delta^2), gradient -delta/batch.
+    ``seen`` (traced images-processed counter) gates hyper.random's
+    while-seen<64000 responsibility draw."""
     B = pred_flat.shape[0]
     S, n, C = cfg.grid, cfg.boxes_per_cell, cfg.num_classes
     grid = build_v1_truth_grid(truths, C, S)
+    if hyper.random:
+        s = jnp.asarray(0 if seen is None else seen)
+        key = jax.random.PRNGKey(s.astype(jnp.int32))
+        rand_idx = jax.random.randint(key, (B, S * S), 0, n, jnp.int32)
+        use_random = jnp.broadcast_to(s < 64000, (B,))
+    else:
+        rand_idx = jnp.zeros((B, S * S), jnp.int32)
+        use_random = jnp.zeros((B,), bool)
     fn = functools.partial(_v1_delta, hyper=hyper, side=S, num_boxes=n,
                            num_classes=C)
-    delta, met = jax.vmap(fn)(pred_flat.astype(jnp.float32), grid)
+    delta, met = jax.vmap(fn)(pred_flat.astype(jnp.float32), grid,
+                              rand_idx, use_random)
     delta = lax.stop_gradient(delta)
     surrogate = -jnp.sum(delta * pred_flat.astype(jnp.float32)) / B
     cost = jnp.sum(jnp.square(delta))
