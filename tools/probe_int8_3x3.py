@@ -89,11 +89,14 @@ def pallas_conv3x3_shiftgemm_int8(x, w, *, tm: int, co_tile: int):
     Hp, Wp = H + 2, W + 2
     Cout = w.shape[-1]
     halo = Wp + 1
+    # DMA window must be sublane-aligned (Mosaic: HBM slices along dim 0
+    # align to the tiling) — round the halo'd window up to 32 rows
+    win = -(-(tm + 2 * halo) // 32) * 32
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xflat = xp.reshape(B * Hp * Wp, Cin)
     M = xflat.shape[0]
     m_pad = (-M) % tm
-    xflat = jnp.pad(xflat, ((halo, halo + m_pad), (0, 0)))
+    xflat = jnp.pad(xflat, ((halo, (win - tm - halo) + m_pad), (0, 0)))
     wflat = w.reshape(9, Cin, Cout)
     n_tiles = (M + m_pad) // tm
 
@@ -102,7 +105,7 @@ def pallas_conv3x3_shiftgemm_int8(x, w, *, tm: int, co_tile: int):
             i = pl.program_id(0)
             start = i * tm     # into the halo-padded flat X
             dma = pltpu.make_async_copy(
-                x_hbm.at[pl.ds(start, tm + 2 * halo), :], xbuf, sem)
+                x_hbm.at[pl.ds(start, win), :], xbuf, sem)
             dma.start()
             dma.wait()
             acc = jnp.zeros((tm, co_tile), jnp.int32)
@@ -117,7 +120,7 @@ def pallas_conv3x3_shiftgemm_int8(x, w, *, tm: int, co_tile: int):
 
         pl.run_scoped(
             body,
-            xbuf=pltpu.VMEM((tm + 2 * halo, Cin), jnp.int8),
+            xbuf=pltpu.VMEM((win, Cin), jnp.int8),
             sem=pltpu.SemaphoreType.DMA(()),
         )
 
@@ -125,7 +128,7 @@ def pallas_conv3x3_shiftgemm_int8(x, w, *, tm: int, co_tile: int):
         kernel,
         grid=(n_tiles, Cout // co_tile),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, Cin, co_tile), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
@@ -138,6 +141,72 @@ def pallas_conv3x3_shiftgemm_int8(x, w, *, tm: int, co_tile: int):
             bytes_accessed=(tm + 2 * halo) * Cin + 9 * Cin * co_tile
             + tm * co_tile * 4),
     )(xflat, wflat)
+    return out[:M].reshape(B, Hp, Wp, Cout)[:, 1:-1, 1:-1, :]
+
+
+def pallas_conv3x3_k3gemm_int8(x, w, *, tm: int, co_tile: int):
+    """Third formulation: per kernel ROW, concatenate the three kx-shifted
+    windows into a (tm, 3*Cin) patch so each of the 3 matmuls contracts
+    K = 3*Cin (deeper MXU passes; the shift-GEMM's K=Cin underfills the
+    pipeline when Cin=128). Same flat-shift/halo trick otherwise."""
+    B, H, W, Cin = x.shape
+    Hp, Wp = H + 2, W + 2
+    Cout = w.shape[-1]
+    halo = Wp + 1
+    win = -(-(tm + 2 * halo) // 32) * 32
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xflat = xp.reshape(B * Hp * Wp, Cin)
+    M = xflat.shape[0]
+    m_pad = (-M) % tm
+    xflat = jnp.pad(xflat, ((halo, (win - tm - halo) + m_pad), (0, 0)))
+    wk = w.reshape(3, 3 * Cin, Cout)   # ky-major, kx within the K axis
+    n_tiles = (M + m_pad) // tm
+
+    def kernel(x_hbm, w_ref, out_ref):
+        def body(xbuf, pbuf, sem):
+            i = pl.program_id(0)
+            dma = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * tm, win), :], xbuf, sem)
+            dma.start()
+            dma.wait()
+            acc = jnp.zeros((tm, co_tile), jnp.int32)
+            for ky in range(3):
+                # stage the three kx-shifted windows side by side (Mosaic
+                # cannot concat sublane-misaligned reads directly; the
+                # stores force the relayout)
+                for kx in range(3):
+                    pbuf[:, kx * Cin:(kx + 1) * Cin] = \
+                        xbuf[pl.ds(ky * Wp + kx, tm), :]
+                acc = acc + lax.dot_general(
+                    pbuf[:], w_ref[ky],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            out_ref[:] = acc
+
+        pl.run_scoped(
+            body,
+            xbuf=pltpu.VMEM((win, Cin), jnp.int8),
+            pbuf=pltpu.VMEM((tm, 3 * Cin), jnp.int8),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, Cout // co_tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 3 * Cin, co_tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, co_tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M + m_pad, Cout), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tm * Cin * co_tile * 9,
+            transcendentals=0,
+            bytes_accessed=win * Cin + 9 * Cin * co_tile
+            + tm * co_tile * 4),
+    )(xflat, wk)
     return out[:M].reshape(B, Hp, Wp, Cout)[:, 1:-1, 1:-1, :]
 
 
@@ -188,11 +257,14 @@ def probe_shape(name, B, H, W, Cin, Cout, co_tile, iters=30):
 
     flops = 2.0 * B * H * W * Cin * Cout * 9
 
-    # correctness gate for the shift-GEMM kernel before timing it
+    # correctness gates for the hand kernels before timing them
     ref = np.asarray(xla_conv_int8(x, w8))
     got = np.asarray(pallas_conv3x3_shiftgemm_int8(x, w8, tm=1024,
                                                    co_tile=co_tile))
     np.testing.assert_array_equal(got, ref)
+    got3 = np.asarray(pallas_conv3x3_k3gemm_int8(x, w8, tm=1024,
+                                                 co_tile=co_tile))
+    np.testing.assert_array_equal(got3, ref)
 
     t_xla8 = measure_chain(xla_conv_int8, x, w8, iters,
                            perturb_dtype=jnp.int8)
@@ -201,6 +273,10 @@ def probe_shape(name, B, H, W, Cin, Cout, co_tile, iters=30):
         x, w8, iters, perturb_dtype=jnp.int8)
     t_sg = measure_chain(
         functools.partial(pallas_conv3x3_shiftgemm_int8, tm=1024,
+                          co_tile=co_tile),
+        x, w8, iters, perturb_dtype=jnp.int8)
+    t_k3 = measure_chain(
+        functools.partial(pallas_conv3x3_k3gemm_int8, tm=1024,
                           co_tile=co_tile),
         x, w8, iters, perturb_dtype=jnp.int8)
     t_bf16 = measure_chain(xla_conv_bf16, xb, wb, iters,
@@ -213,13 +289,16 @@ def probe_shape(name, B, H, W, Cin, Cout, co_tile, iters=30):
     print(f"  XLA  int8        : {t_xla8*1e3:8.3f} ms/iter  {tops(t_xla8):6.1f} TOPS")
     print(f"  Pallas naive int8: {t_pal*1e3:8.3f} ms/iter  {tops(t_pal):6.1f} TOPS")
     print(f"  Pallas shiftGEMM : {t_sg*1e3:8.3f} ms/iter  {tops(t_sg):6.1f} TOPS")
+    print(f"  Pallas k3GEMM    : {t_k3*1e3:8.3f} ms/iter  {tops(t_k3):6.1f} TOPS")
     print(f"  XLA  bf16        : {t_bf16*1e3:8.3f} ms/iter  {tops(t_bf16):6.1f} TFLOPs")
+    best = min(t_pal, t_sg, t_k3)
     print(f"  int8/bf16 ratio: XLA {t_bf16/t_xla8:.2f}  "
-          f"best-Pallas {t_bf16/min(t_pal, t_sg):.2f}   "
-          f"best-Pallas/XLA {t_xla8/min(t_pal, t_sg):.2f}x")
+          f"best-Pallas {t_bf16/best:.2f}   "
+          f"best-Pallas/XLA {t_xla8/best:.2f}x")
     return dict(name=name, xla_int8_tops=tops(t_xla8),
                 pallas_naive_tops=tops(t_pal),
                 pallas_shiftgemm_tops=tops(t_sg),
+                pallas_k3gemm_tops=tops(t_k3),
                 bf16_tflops=tops(t_bf16))
 
 

@@ -212,6 +212,10 @@ def make_forward_smoothed(cfg: C.ModelConfig, specs, avg_frames: int, *,
     N = int(avg_frames)
     if N < 2:
         raise ValueError("avg_frames must be >= 2 (darknet demo_frame=3)")
+    if cfg.head not in (1, 2, 3):
+        raise ValueError("rolling prediction average applies to detection "
+                         "heads (demo.c averages YOLO/REGION/DETECTION "
+                         "layer outputs only)")
 
     def forward(params, images_uint8, tails):
         x = normalize_images(images_uint8, cfg,
