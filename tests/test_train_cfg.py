@@ -312,3 +312,36 @@ def test_train_arbitrary_cfg_end_to_end(tmp_path, capsys):
     import json
     meta = json.loads((tmp_path / "ck" / "latest.json").read_text())
     assert meta["step"] == 6
+
+
+def test_train_cfg_through_cli_argparse(tmp_path, capsys):
+    """Same flow through the real argparse surface (cli.main), catching
+    wiring gaps the Namespace-based test can't."""
+    from yolo_tensorflow_tpu.cli import main
+    cfg_path = tmp_path / "tiny.cfg"
+    cfg_path.write_text(TINY_REGION_CFG)
+    names = tmp_path / "names.txt"
+    names.write_text("thing\nother\n")
+    lst = _make_dataset(tmp_path)
+    main(["train", "--cfg", str(cfg_path), "--names", str(names),
+          "--list", lst, "--ckpt-dir", str(tmp_path / "ck"),
+          "--steps", "2", "--save-every", "2", "--log-every", "1",
+          "--num-data", "2"])
+    out = capsys.readouterr().out
+    assert "[net] lr 0.002" in out and "step 2" in out
+
+
+def test_partial_through_cli_argparse(tmp_path, capsys):
+    from yolo_tensorflow_tpu.cli import main
+    cfg = C.get_config("yolov2-tiny-voc")
+    specs = C.build_specs(cfg)
+    params, stats = engine.init_params(specs, (1, 416, 416, 3),
+                                       jax.random.PRNGKey(0), folded=False)
+    full = tmp_path / "full.weights"
+    W.save_darknet_weights(specs, 416, params, stats, str(full))
+    out = tmp_path / "backbone.conv.6"
+    main(["partial", "--model", "yolov2-tiny-voc", "--weights", str(full),
+          "--out", str(out), "--upto", "6"])
+    assert out.exists() and out.stat().st_size < full.stat().st_size
+    text = capsys.readouterr().out
+    assert "first 6 darknet layers" in text

@@ -107,29 +107,50 @@ def main(steps=1200, batch=32, model="yolov3-tiny"):
     print(f"trained in {time.time()-t0:.0f}s", flush=True)
 
     folded = fold_params(state.params, state.batch_stats, cfg.bn_eps)
-    det = Detector(cfg, params=folded,
-                   conf_threshold=0.3, iou_threshold=0.45,
-                   max_detections=10)
+
+    # held-out scenes once; all evals run through the BATCHED prefetching
+    # pipeline (eval/batched.py — the validate_detector-style loader)
+    from yolo_tensorflow_tpu.eval.batched import detect_images
     erng = np.random.default_rng(777)
-    dets, gts = [], []
-    for _ in range(100):
-        img, b = make_scene(erng)
-        res = det.detect(img)
-        dets.append({
+    scenes = [make_scene(erng) for _ in range(100)]
+    gts = [{
+        "boxes": np.stack([(b[:, 0] - b[:, 2] / 2) * SIZE,
+                           (b[:, 1] - b[:, 3] / 2) * SIZE,
+                           (b[:, 0] + b[:, 2] / 2) * SIZE,
+                           (b[:, 1] + b[:, 3] / 2) * SIZE], 1),
+        "classes": b[:, 4].astype(np.int32)} for _, b in scenes]
+    imgs_eval = [img for img, _ in scenes]
+
+    def eval_batched(d, label):
+        t = time.time()
+        results = detect_images(d, imgs_eval, batch_size=20,
+                                num_workers=4)
+        dt = time.time() - t
+        dets = [{
             "boxes": np.asarray([r["box"] for r in res],
                                 np.float32).reshape(-1, 4),
             "scores": np.asarray([r["score"] for r in res], np.float32),
-            "classes": np.asarray([r["class_id"] for r in res], np.int32)})
-        gts.append({
-            "boxes": np.stack([(b[:, 0] - b[:, 2] / 2) * SIZE,
-                               (b[:, 1] - b[:, 3] / 2) * SIZE,
-                               (b[:, 0] + b[:, 2] / 2) * SIZE,
-                               (b[:, 1] + b[:, 3] / 2) * SIZE], 1),
-            "classes": b[:, 4].astype(np.int32)})
-    out = evaluate_detections(dets, gts, 3)
-    print(f"held-out mAP@0.5 = {out['map']:.4f}  per-class "
-          f"{ {CLASSES[c]: round(v, 3) for c, v in out['ap_per_class'].items()} }",
-          flush=True)
+            "classes": np.asarray([r["class_id"] for r in res], np.int32)}
+            for res in results]
+        out = evaluate_detections(dets, gts, 3)
+        print(f"{label}: mAP@0.5 = {out['map']:.4f} "
+              f"({len(imgs_eval)/dt:.0f} img/s batched eval)  per-class "
+              f"{ {CLASSES[c]: round(v, 3) for c, v in out['ap_per_class'].items()} }",
+              flush=True)
+        return out
+
+    det = Detector(cfg, params=folded, conf_threshold=0.3,
+                   iou_threshold=0.45, max_detections=10)
+    out = eval_batched(det, "held-out")
+
+    # flip-TTA eval (validate_detector_flip / region TTA) — measured delta
+    for mode in ("darknet", "corrected"):
+        det_tta = Detector(cfg, params=folded, conf_threshold=0.3,
+                           iou_threshold=0.45, max_detections=10,
+                           tta=True, tta_mode=mode)
+        out_t = eval_batched(det_tta, f"flip-TTA[{mode}]")
+        print(f"  flip-TTA[{mode}] mAP delta {out_t['map'] - out['map']:+.4f}",
+              flush=True)
 
     # int8: calibrate on training scenes, quantize, re-evaluate
     from yolo_tensorflow_tpu.ops import quant as Q
@@ -137,22 +158,10 @@ def main(steps=1200, batch=32, model="yolov3-tiny"):
     calib = [pool[i][0][:8] for i in range(8)]
     scales = Q.calibrate_activations(specs, folded, calib, cfg=cfg)
     qparams = Q.quantize_params(specs, folded, scales)
-    det_q = Detector(cfg, params=qparams,
-                     conf_threshold=0.3, iou_threshold=0.45,
-                     max_detections=10)
-    erng = np.random.default_rng(777)
-    dets_q = []
-    for _ in range(100):
-        img, _b = make_scene(erng)
-        res = det_q.detect(img)
-        dets_q.append({
-            "boxes": np.asarray([r["box"] for r in res],
-                                np.float32).reshape(-1, 4),
-            "scores": np.asarray([r["score"] for r in res], np.float32),
-            "classes": np.asarray([r["class_id"] for r in res], np.int32)})
-    out_q = evaluate_detections(dets_q, gts, 3)
-    print(f"int8 (w8a8) mAP@0.5 = {out_q['map']:.4f} "
-          f"(delta {out_q['map'] - out['map']:+.4f})", flush=True)
+    det_q = Detector(cfg, params=qparams, conf_threshold=0.3,
+                     iou_threshold=0.45, max_detections=10)
+    out_q = eval_batched(det_q, "int8 (w8a8)")
+    print(f"int8 mAP delta {out_q['map'] - out['map']:+.4f}", flush=True)
     return out["map"]
 
 
