@@ -733,3 +733,94 @@ def test_random_mixed_nets_match_c_oracle(oracle, rng, tmp_path):
             ref = ref.reshape(mine.shape)
         rel = np.abs(ref - mine).max() / (np.abs(ref).mean() + 1e-6)
         assert rel < 1e-4, (trial, rel, text)
+
+
+@pytest.mark.parametrize("name,thresh", [
+    ("yolov3-tiny", 0.0),       # avg_flipped_yolo (yolo_layer.c:290)
+    ("yolov2-tiny-voc", 0.3),   # region batch==2 path (region_layer.c:368)
+])
+def test_flip_tta_boxes_match_c_oracle(oracle, name, thresh, rng, tmp_path):
+    """The C binary's OWN flip-TTA (set_batch_network(net, 2), image +
+    mirror, get_network_boxes averaging internally — the valid2 eval path)
+    vs our activate+flip_tta+decode, det by det. This upgrades the TTA
+    gates from transcription-level to compiled-C-level, odd 13/26-wide
+    grids included.
+
+    thresh=0 for the yolo head is load-bearing: the vendored C has a
+    LATENT HEAP OVERFLOW in this path — num_detections counts objectness
+    on the PRE-average batch-0 output (yolo_layer.c:272), but
+    get_yolo_detections emits per POST-average objectness (:316 after
+    avg_flipped_yolo), so any cell the mirror pushes above the threshold
+    writes past the alloc (reproducibly segfaults with random weights at
+    thresh 0.3). At thresh 0 every sigmoid objectness qualifies on both
+    sides, the count is exact, and the averaging math itself can be
+    diffed. (Region heads allocate the full grid and are immune.)"""
+    cfg, specs, params, stats = _make_model(name, rng)
+    size = cfg.input_size
+    wpath = str(tmp_path / "m.weights")
+    W.save_darknet_weights(specs, size, params, stats, wpath)
+    cpath = str(tmp_path / "m.cfg")
+    with open(cpath, "w") as f:
+        # batch=2 in [net]: darknet sizes layer buffers at PARSE time, and
+        # set_batch_network never reallocates — a batch-1 cfg would
+        # overflow under the 2-image flip predict (validate_detector_flip
+        # relies on the training cfg's large batch the same way)
+        f.write(specs_to_cfg(cfg, specs, batch=2))
+
+    img = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    folded = W.fold_params(params, stats, cfg.bn_eps, "darknet")
+    x = jnp.asarray(img[None]).astype(jnp.float32) / 255.0
+    x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+    dets_out, _ = engine.apply(specs, folded, x2, bn_eps=cfg.bn_eps)
+
+    mine = []
+    for feat, det in dets_out:
+        if cfg.head == 3:
+            anchors = [cfg.anchors[i] for i in det.anchor_mask]
+            A = len(anchors)
+            act = heads.activate_v3(feat, A, cfg.num_classes)
+            avg = heads.yolo_flip_tta(act[:1], act[1:], A,
+                                      cfg.num_classes, mode="darknet")
+            b, sc, lb = heads.decode_v3_scale_activated(
+                avg, anchors, cfg.input_size, cfg.num_classes)
+            # full conf/probs for the det-by-det diff
+            d = np.asarray(avg).reshape(1, -1, A, 5 + cfg.num_classes)
+            conf = d[0, :, :, 4].reshape(-1)
+            probs = d[0, :, :, 5:].reshape(-1, cfg.num_classes)
+            b = np.asarray(b)[0]
+            for k in range(b.shape[0]):
+                if conf[k] <= thresh:
+                    continue
+                pr = conf[k] * probs[k]
+                pr[pr <= thresh] = 0.0
+                mine.append((b[k], conf[k], pr))
+        else:
+            act = heads.activate_v2(feat, cfg)
+            avg = heads.region_flip_tta(act[:1], act[1:], cfg,
+                                        mode="darknet")
+            b, conf, probs = heads.decode_v2_activated(avg, cfg)
+            b, conf, probs = (np.asarray(b)[0], np.asarray(conf)[0],
+                              np.asarray(probs)[0])
+            A = cfg.num_anchors
+            HW = b.shape[0] // A
+            for n_ in range(A):
+                for i in range(HW):
+                    k = i * A + n_
+                    obj = conf[k] if conf[k] > thresh else 0.0
+                    pr = np.zeros(cfg.num_classes, np.float32)
+                    if obj:
+                        pr = conf[k] * probs[k]
+                        pr[pr <= thresh] = 0.0
+                    mine.append((b[k], obj, pr))
+
+    net = oracle.load(cpath, wpath)
+    ref = oracle.boxes_flip(net, img, cfg.num_classes, thresh=thresh)
+    assert len(ref) == len(mine), (len(ref), len(mine))
+    assert any(r["objectness"] > 0 for r in ref), "no live dets in sample"
+    for r, (mb, mobj, mpr) in zip(ref, mine):
+        np.testing.assert_allclose(np.asarray(r["box"]), mb,
+                                   rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(r["objectness"], mobj, rtol=1e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(r["prob"]), mpr,
+                                   rtol=1e-4, atol=2e-5)

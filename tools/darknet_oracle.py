@@ -124,6 +124,32 @@ class Oracle:
         self.lib.free_image(boxed)
         return out.transpose(1, 2, 0)
 
+    def boxes_flip(self, net, image_u8: np.ndarray, num_classes: int,
+                   thresh: float = 0.5):
+        """The validate_detector_flip path (examples/detector.c:234):
+        set_batch_network(net, 2), feed [image, mirrored image],
+        get_network_boxes — the C runs avg_flipped_yolo /
+        get_region_detections' batch==2 averaging internally."""
+        self.lib.set_batch_network.argtypes = [ct.c_void_p, ct.c_int]
+        self.lib.set_batch_network(net, 2)
+        data = np.concatenate([self.to_darknet_input(image_u8),
+                               self.to_darknet_input(image_u8[:, ::-1])])
+        self.lib.network_predict(
+            net, data.ctypes.data_as(ct.POINTER(ct.c_float)))
+        n = ct.c_int(0)
+        h, w = image_u8.shape[:2]
+        dets = self.lib.get_network_boxes(net, w, h, thresh, 0.5, None, 1,
+                                          ct.byref(n))
+        out = []
+        for i in range(n.value):
+            d = dets[i]
+            probs = [d.prob[c] for c in range(num_classes)]
+            out.append({"box": (d.bbox.x, d.bbox.y, d.bbox.w, d.bbox.h),
+                        "objectness": d.objectness, "prob": probs})
+        self.lib.free_detections(dets, n)
+        self.lib.set_batch_network(net, 1)
+        return out
+
     def boxes(self, net, image_u8: np.ndarray, num_classes: int,
               thresh: float = 0.5, orig_wh=None):
         """network_predict + get_network_boxes (relative coords, no NMS).
