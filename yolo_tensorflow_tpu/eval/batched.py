@@ -120,32 +120,22 @@ def _detect(det, images, paths, *, batch_size, num_workers,
         return (batch,), metas
 
     # Remote/high-latency links charge per TRANSFER, not per byte: the
-    # four Detections fields fetched separately cost 4 round trips, and a
+    # Detections fields fetched separately cost one round trip each, and a
     # host numpy argument inside the jit call takes a slow path vs an
     # explicit device_put (measured ~2.3x per batch through the axon
     # tunnel). So: device_put the input batch first, and pack the outputs
-    # into ONE f32 array on device (bit-exact: boxes/scores are f32
-    # already; class ids and counts are small ints, exact in f32).
-    @jax.jit
-    def _pack(d):
-        import jax.numpy as jnp
-        return jnp.concatenate([
-            d.boxes.reshape(d.boxes.shape[0], -1),
-            d.scores, d.classes.astype(jnp.float32),
-            d.num[:, None].astype(jnp.float32)], axis=1)
-
-    def _unpack(arr):
-        M = (arr.shape[1] - 1) // 6
-        return (arr[:, :4 * M].reshape(-1, M, 4),      # boxes
-                arr[:, 4 * M:5 * M],                   # scores
-                arr[:, 5 * M:6 * M].astype(np.int32),  # classes
-                arr[:, 6 * M].astype(np.int32))        # num
+    # into ONE f32 array on device (bit-exact — post/nms.pack_detections).
+    from yolo_tensorflow_tpu.post.nms import (pack_detections,
+                                              unpack_detections)
+    _pack = jax.jit(pack_detections)
 
     def finalize(packed, metas):
         """Device batch -> per-image result dicts; the same host un-scaling
         as Detector.detect / _detect_fused."""
         from yolo_tensorflow_tpu.data.augment import unletterbox_boxes
-        p_boxes, p_scores, p_classes, p_num = _unpack(np.asarray(packed))
+        d = unpack_detections(np.asarray(packed))
+        p_boxes, p_scores, p_classes, p_num = (d.boxes, d.scores,
+                                               d.classes, d.num)
         out = []
         for b, m in enumerate(metas):
             nb = int(p_num[b])

@@ -39,6 +39,47 @@ class Detections(NamedTuple):
     num: jax.Array      # (B,) int32 valid count
 
 
+def pack_detections(d: Detections):
+    """Detections -> ONE (B, 7*D+1) float32 array, for single-transfer
+    host readback on remote/high-latency links (each separate device->host
+    fetch costs a full round trip there; boxes/scores are f32 already and
+    class ids / flags / counts are small ints — exact in f32)."""
+    B, M, _ = d.boxes.shape
+    return jnp.concatenate([
+        d.boxes.reshape(B, 4 * M), d.scores,
+        d.classes.astype(jnp.float32), d.valid.astype(jnp.float32),
+        d.num[:, None].astype(jnp.float32)], axis=1)
+
+
+def unpack_detections(arr) -> Detections:
+    """Inverse of pack_detections on a HOST numpy array -> numpy-backed
+    Detections (API-compatible: np.asarray over its fields is a no-op)."""
+    import numpy as np
+    arr = np.asarray(arr)
+    M = (arr.shape[1] - 1) // 7
+    return Detections(
+        boxes=arr[:, :4 * M].reshape(-1, M, 4),
+        scores=arr[:, 4 * M:5 * M],
+        classes=arr[:, 5 * M:6 * M].astype(np.int32),
+        valid=arr[:, 6 * M:7 * M] > 0.5,
+        num=arr[:, 7 * M].astype(np.int32))
+
+
+_PACK_JIT = None
+
+
+def fetch_detections(dets: Detections) -> Detections:
+    """Device Detections -> numpy-backed Detections in ONE host transfer
+    (pack on device, fetch once, unpack on host). Values are bit-identical
+    to fetching each field; on remote links this replaces five round
+    trips with one."""
+    import numpy as np
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        _PACK_JIT = jax.jit(pack_detections)
+    return unpack_detections(np.asarray(_PACK_JIT(dets)))
+
+
 def iou_matrix(boxes):
     """Pairwise IoU for (K, 4) xyxy boxes -> (K, K)."""
     x0, y0, x1, y1 = (boxes[:, i] for i in range(4))

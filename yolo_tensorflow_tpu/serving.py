@@ -19,6 +19,12 @@ from typing import Iterator
 
 import numpy as np
 
+def _fetch_packed(dets):
+    """Device Detections -> numpy-backed Detections in ONE host transfer
+    (post/nms.fetch_detections)."""
+    from yolo_tensorflow_tpu.post import nms as NMS
+    return NMS.fetch_detections(dets)
+
 
 def frame_source(source, size: int, loops: int = 1) -> Iterator[np.ndarray]:
     """Yield (size, size, 3) uint8 RGB frames from a video path, camera
@@ -120,7 +126,10 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
         else:
             dets = detector.detect_batch(images)
         if on_batch is not None:
-            on_batch(dets, images[:valid])
+            # single-transfer readback (post/nms.pack_detections): remote
+            # links charge a round trip per fetched array — hand the
+            # callback a host-materialized Detections in one transfer
+            on_batch(_fetch_packed(dets), images[:valid])
         else:
             # force completion so FPS is honest (demo.c prints per frame)
             np.asarray(dets.num)
