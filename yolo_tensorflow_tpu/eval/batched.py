@@ -201,7 +201,10 @@ def _detect(det, images, paths, *, batch_size, num_workers,
                 fill()
             t1 = _time.time()
             arrays, metas = assemble(items)
-            arrays = tuple(jax.device_put(a) for a in arrays)
+            if getattr(det, "mesh", None) is None:
+                # pre-put on the fast explicit-transfer path; mesh-backed
+                # detectors shard inputs themselves in detect_batch
+                arrays = tuple(jax.device_put(a) for a in arrays)
             t2 = _time.time()
             if fused:
                 out = _pack(det.detect_batch_fused(*arrays))
