@@ -156,6 +156,20 @@ def main():
         lats.append(time.perf_counter() - t)
     p50_ms = float(np.median(lats) * 1e3)
 
+    # training-step throughput (full darknet-exact loss + backward + SGD,
+    # multi-step scan — tools/bench_train.py). bf16 mixed precision is the
+    # TPU training mode (gradients gated vs f32, tests/test_train_bf16.py).
+    train_extra = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            from tools.bench_train import measure_train
+            tb = int(os.environ.get("BENCH_TRAIN_BATCH", "32"))
+            train_extra["train_yolov3_416_bf16"] = measure_train(
+                model="yolov3", size=416, batch=tb, steps=4,
+                compute_dtype="bfloat16")
+        except Exception as e:  # never sink the headline metric
+            train_extra["train_bench_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": f"yolov3-{size} batched images/sec/chip, int8 PTQ serving "
                   "(device, incl. on-device NMS)",
@@ -172,6 +186,7 @@ def main():
                   "tools/synthetic_train_demo.py)",
                   "batch": batch, "iters_chained": iters,
                   "p50_batch_e2e_ms_incl_host_readback": round(p50_ms, 2),
+                  **train_extra,
                   "platform": jax.devices()[0].platform,
                   "device": str(jax.devices()[0])},
     }))

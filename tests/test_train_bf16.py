@@ -1,0 +1,150 @@
+"""Mixed-precision (bf16) training gates.
+
+The reference trains in f32 C kernels; on TPU the MXU is bf16-native, so
+the framework adds an opt-in mixed-precision training form: convs compute
+in bf16 (f32 MXU accumulation, output rounded once to bf16 then upcast),
+while BN statistics, loss, optimizer state and master weights stay f32
+(ops/layers.conv2d train=True path). These gates pin that the path runs
+forward+backward, that its gradients track the exact-f32 gradients, that
+training converges, and that it composes with the sharded mesh step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.parallel import mesh as M
+from yolo_tensorflow_tpu.train import loop as T
+
+SIZE = 64
+
+
+def _state_and_batch(model="yolov3-tiny", batch=4, lr=1e-3):
+    cfg = C.get_config(model, input_size=SIZE)
+    tx = T.make_optimizer(T.darknet_lr_schedule(lr, burn_in=4))
+    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                 input_size=SIZE)
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (batch, SIZE, SIZE, 3), dtype=np.uint8)
+    truths = np.zeros((batch, 4, 5), np.float32)
+    truths[:, 0] = [0.5, 0.5, 0.7, 0.7, 3.0]
+    truths[:, 1] = [0.25, 0.25, 0.2, 0.3, 1.0]
+    return cfg, tx, state, images, truths
+
+
+def _flat_delta(before, after):
+    b = jax.tree_util.tree_leaves(before)
+    a = jax.tree_util.tree_leaves(after)
+    return np.concatenate([(np.asarray(x) - np.asarray(y)).ravel()
+                           for x, y in zip(a, b)])
+
+
+@pytest.mark.parametrize("model", ["yolov3-tiny", "yolov2-tiny-voc"])
+def test_bf16_step_runs_and_tracks_f32_gradients(model):
+    cfg, tx, state, images, truths = _state_and_batch(model)
+    step32 = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE))
+    step16 = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                       compute_dtype=jnp.bfloat16))
+    s32, m32 = step32(state, images, truths)
+    s16, m16 = step16(state, images, truths)
+    assert np.isfinite(float(m16["cost"]))
+    # SGD first step: param delta = -lr * (grad + wd); same state both ways,
+    # so the deltas compare the gradients directly
+    d32 = _flat_delta(state.params, s32.params)
+    d16 = _flat_delta(state.params, s16.params)
+    cos = float(d32 @ d16 / (np.linalg.norm(d32) * np.linalg.norm(d16)))
+    # random-init nets give the weakest alignment (large activations, noisy
+    # deltas); measured ~0.97 here, ~0.999 once training has any signal
+    assert cos > 0.95, cos
+    np.testing.assert_allclose(np.linalg.norm(d16), np.linalg.norm(d32),
+                               rtol=0.05)
+    # loss value itself within bf16 rounding of the exact one
+    np.testing.assert_allclose(float(m16["cost"]), float(m32["cost"]),
+                               rtol=0.05)
+
+
+def test_bf16_training_converges():
+    cfg, tx, state, images, truths = _state_and_batch(lr=1e-4)
+    step16 = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                       compute_dtype=jnp.bfloat16),
+                     donate_argnums=(0,))
+    costs = []
+    for _ in range(8):
+        state, m = step16(state, images, truths)
+        costs.append(float(m["cost"]))
+    assert np.isfinite(costs).all()
+    assert costs[-1] < costs[0] * 0.9, costs
+
+
+def test_bf16_params_and_stats_stay_f32():
+    cfg, tx, state, images, truths = _state_and_batch()
+    step16 = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                       compute_dtype=jnp.bfloat16))
+    s16, _ = step16(state, images, truths)
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(s16.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+
+def test_remat_gradients_bit_exact():
+    """remat_every=N (selective rematerialization, jax.checkpoint over the
+    engine's tagged layer outputs) recomputes the identical ops in the
+    backward sweep — the step must be BIT-exact vs plain backprop."""
+    cfg, tx, state, images, truths = _state_and_batch()
+    plain = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE))
+    remat = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                      remat_every=4))
+    s_p, m_p = plain(state, images, truths)
+    s_r, m_r = remat(state, images, truths)
+    assert float(m_p["cost"]) == float(m_r["cost"])
+    for a, b in zip(jax.tree_util.tree_leaves(s_p.params),
+                    jax.tree_util.tree_leaves(s_r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_composes_with_bf16_and_mesh():
+    cfg, tx, state, images, truths = _state_and_batch(batch=8)
+    mesh = M.make_mesh(8, 1)
+    step = T.make_sharded_train_step(cfg, tx, mesh, input_size=SIZE,
+                                     compute_dtype=jnp.bfloat16,
+                                     remat_every=4)
+    with mesh:
+        im, tr = M.shard_batch(mesh, images, truths)
+        s, m = step(state, im, tr)
+    assert np.isfinite(float(m["cost"]))
+    assert int(s.step) == 1
+
+
+@pytest.mark.parametrize("mesh_shape,min_cos", [((8, 1), 0.99),
+                                                ((4, 2), 0.5)])
+def test_bf16_sharded_step_matches_unsharded(mesh_shape, min_cos):
+    """Pure DP shards the batch only: per-example conv outputs round to
+    bf16 identically on every device, so gradients track the unsharded
+    step tightly (measured cos ~0.994). Spatial sharding retiles the convs,
+    and the per-tile f32-accumulation order differences surface as bf16
+    output-rounding flips that a RANDOM-INIT net amplifies chaotically —
+    the LOSS still matches to ~0.1%, but the gradient direction is only
+    loosely aligned (measured ~0.77); that looseness is a property of
+    mixed precision, not of the sharding (the f32 spatial path is gated
+    tightly in test_parallel.py)."""
+    cfg, tx, state, images, truths = _state_and_batch(batch=8)
+    mesh = M.make_mesh(*mesh_shape)
+    sharded = T.make_sharded_train_step(cfg, tx, mesh, input_size=SIZE,
+                                        compute_dtype=jnp.bfloat16)
+    plain = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                      compute_dtype=jnp.bfloat16))
+    # snapshot first: the sharded step donates (consumes) its state arg
+    p0 = jax.tree.map(np.asarray, state.params)
+    s_pl, m_pl = plain(state, images, truths)
+    with mesh:
+        im, tr = M.shard_batch(mesh, images, truths)
+        s_sh, m_sh = sharded(state, im, tr)
+    np.testing.assert_allclose(float(m_sh["cost"]), float(m_pl["cost"]),
+                               rtol=2e-2)
+    d_sh = _flat_delta(p0, s_sh.params)
+    d_pl = _flat_delta(p0, s_pl.params)
+    cos = float(d_sh @ d_pl / (np.linalg.norm(d_sh) * np.linalg.norm(d_pl)))
+    assert cos > min_cos, (mesh_shape, cos)

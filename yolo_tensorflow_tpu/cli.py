@@ -669,6 +669,17 @@ def main(argv=None):
     p.add_argument("--burn-in", type=int, default=None,
                    help="default: cfg burn_in, else 1000")
     p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed-precision training: convs compute bf16 on "
+                        "the MXU, BN stats/loss/optimizer and master "
+                        "weights stay f32 (gradients gated vs f32 in "
+                        "tests/test_train_bf16.py)")
+    p.add_argument("--remat-every", type=int, default=None, metavar="N",
+                   help="selective rematerialization: keep only every Nth "
+                        "layer's activation for the backward pass and "
+                        "recompute the rest (jax.checkpoint) — ~N-fold "
+                        "lower activation HBM for one extra forward's "
+                        "FLOPs; lets batch size grow past plain backprop")
     p.add_argument("--num-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num-spatial", type=int, default=1)

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
+
 from yolo_tensorflow_tpu.models import specs as S
 from yolo_tensorflow_tpu.ops import layers as L
 
@@ -105,7 +107,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                                   or jnp.float32)
             elif spec.bn and "gamma" in p:
                 cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
-                               pad=pad, compute_dtype=compute_dtype)
+                               pad=pad, compute_dtype=compute_dtype,
+                               train=train)
                 if train:
                     cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"], bn_eps)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
@@ -117,7 +120,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             else:
                 # folded or bias-only conv
                 cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride,
-                               pad=pad, compute_dtype=compute_dtype)
+                               pad=pad, compute_dtype=compute_dtype,
+                               train=train)
             cur = _activate(cur, spec.act)
             if compute_dtype is not None and not train:
                 # keep activations narrow between layers: XLA fuses the cast
@@ -174,15 +178,20 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             detections.append((cur, spec))
         elif isinstance(spec, S.Local):
             p = params[layer_key(i)]
+            # exotic layers train in f32: their f32-accumulating einsum/conv
+            # VJPs reject mixed (f32 cotangent, bf16 operand) dtypes, and
+            # they carry a negligible share of any trained net's FLOPs
+            cd = None if train else compute_dtype
             cur = L.local_conv(cur, p["w"], p["b"], size=spec.size,
                                stride=spec.stride, pad=spec.pad,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=cd)
             cur = _activate(cur, spec.act)
         elif isinstance(spec, S.Deconv):
             p = params[layer_key(i)]
+            cd = None if train else compute_dtype  # see S.Local note
             if spec.bn and "gamma" in p:
                 cur = L.deconv2d(cur, p["w"], None, stride=spec.stride,
-                                 pad=spec.pad, compute_dtype=compute_dtype)
+                                 pad=spec.pad, compute_dtype=cd)
                 if train:
                     cur, m, v = L.batch_norm_train(cur, p["gamma"],
                                                    p["beta"], bn_eps)
@@ -194,7 +203,7 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                         bn_eps, formula=bn_formula)
             else:
                 cur = L.deconv2d(cur, p["w"], p["b"], stride=spec.stride,
-                                 pad=spec.pad, compute_dtype=compute_dtype)
+                                 pad=spec.pad, compute_dtype=cd)
             cur = _activate(cur, spec.act)
         elif isinstance(spec, S.Crop):
             if train:
@@ -235,6 +244,14 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                 new_stats[key] = upd
         else:  # pragma: no cover
             raise TypeError(f"unknown spec {spec!r}")
+        if train:
+            # tag layer outputs for selective rematerialization: under
+            # jax.checkpoint(policy=save_only_these_names(...)) the named
+            # activations become the only saved residuals and everything
+            # between them is recomputed in the backward pass
+            # (train/loop.make_train_step remat_every) — jax.checkpoint /
+            # remat trading FLOPs for HBM. No-op outside a remat context.
+            cur = _checkpoint_name(cur, layer_key(i))
         outputs.append(cur)
 
     aux = {"batch_stats": new_stats} if train else {}

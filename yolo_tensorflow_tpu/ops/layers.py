@@ -68,7 +68,8 @@ def connected_forward(x, p, st, act, *, train, bn_eps,
     return activate(y, act), None
 
 
-def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None):
+def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None,
+           train=False):
     """Conv with darknet explicit padding (size//2 per side).
 
     x: (B, H, W, Cin); w: (kh, kw, Cin, Cout) HWIO; b: (Cout,) or None.
@@ -76,6 +77,15 @@ def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None):
     is None (parity mode) we force exact f32 multiplies (Precision.HIGHEST);
     with an explicit low-precision compute_dtype (bf16 serving) the operands
     are already narrow, so the MXU-native default precision applies.
+
+    ``train=True`` with a narrow compute_dtype selects the mixed-precision
+    training form: the conv output is materialized in compute_dtype (MXU
+    still accumulates f32 internally, one rounding on output) and upcast to
+    f32 immediately after. This keeps the VJP dtype-consistent — the
+    transpose convs see (bf16 cotangent, bf16 operand) instead of the
+    unsupported (f32, bf16) mix ``preferred_element_type`` would produce —
+    so backward matmuls run at MXU bf16 speed while BN statistics, loss,
+    and optimizer state stay float32 (master weights).
     """
     k = w.shape[0]
     if pad is None:
@@ -84,14 +94,18 @@ def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    mp_train = (train and compute_dtype is not None
+                and jnp.dtype(compute_dtype) != jnp.float32)
     out = lax.conv_general_dilated(
         x, w,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=_CONV_DIMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if mp_train else jnp.float32,
         precision=precision,
     )
+    if mp_train:
+        out = out.astype(jnp.float32)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out

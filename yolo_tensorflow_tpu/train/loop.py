@@ -206,7 +206,8 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
 
 def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
                     ignore_thresh: float = 0.5, compute_dtype=None,
-                    specs=None, **loss_kw):
+                    specs=None, remat_every: Optional[int] = None,
+                    **loss_kw):
     """Build the pure (state, images_u8, truths) -> (state, metrics) step.
 
     Multi-scale training (darknet's every-10-batches random resize,
@@ -215,21 +216,41 @@ def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
     (v2_variant, region_hyper, detection_hyper) pass to loss_for_config;
     the darknet ``seen`` counter is derived as step * batch. ``specs``
     overrides the registry builder for arbitrary-cfg models.
+
+    ``remat_every=N`` enables selective rematerialization: only every Nth
+    layer's activation is kept as a backward-pass residual
+    (jax.checkpoint + save_only_these_names over the engine's tagged layer
+    outputs); the layers between checkpoints are recomputed during the
+    backward sweep. Peak activation memory drops ~N-fold for one extra
+    forward's FLOPs — the TPU HBM/FLOPs trade that lets batch size grow
+    past what plain backprop fits. Numerically exact (the recomputation
+    re-runs the identical ops; gated in tests/test_train_bf16.py).
     """
     specs = C.build_specs(cfg) if specs is None else specs
 
-    def loss_fn(params, batch_stats, images, truths, drng, seen):
-        x = normalize_images(images, cfg)
+    def forward(params, x, drng):
         dets, aux = engine.apply(specs, params, x, train=True,
                                  bn_eps=cfg.bn_eps,
                                  compute_dtype=compute_dtype,
                                  dropout_rng=drng)
-        raw_scales = [f.astype(jnp.float32) for f, _ in dets]
+        return [f.astype(jnp.float32) for f, _ in dets], \
+            aux["batch_stats"]
+
+    if remat_every:
+        saved = [engine.layer_key(i)
+                 for i in range(remat_every - 1, len(specs), remat_every)]
+        forward = jax.checkpoint(
+            forward,
+            policy=jax.checkpoint_policies.save_only_these_names(*saved))
+
+    def loss_fn(params, batch_stats, images, truths, drng, seen):
+        x = normalize_images(images, cfg)
+        raw_scales, new_bn_stats = forward(params, x, drng)
         loss, metrics = loss_for_config(
             cfg, specs, raw_scales, truths,
             ignore_thresh=ignore_thresh, input_size=input_size,
             seen=seen, **loss_kw)
-        return loss, (aux["batch_stats"], metrics)
+        return loss, (new_bn_stats, metrics)
 
     def train_step(state: TrainState, images, truths):
         rng, drng = jax.random.split(state.rng)

@@ -263,9 +263,13 @@ def run_training(args):
 
     def step_for(size):
         if size not in steps:
-            steps[size] = T.make_sharded_train_step(cfg, tx, mesh,
-                                                    input_size=size,
-                                                    specs=specs, **loss_kw)
+            import jax.numpy as jnp
+            cd = jnp.bfloat16 if getattr(args, "bf16", False) else None
+            steps[size] = T.make_sharded_train_step(
+                cfg, tx, mesh, input_size=size, specs=specs,
+                compute_dtype=cd,
+                remat_every=getattr(args, "remat_every", None),
+                **loss_kw)
         return steps[size]
 
     rng = np.random.default_rng(1)
