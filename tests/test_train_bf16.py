@@ -55,14 +55,34 @@ def test_bf16_step_runs_and_tracks_f32_gradients(model):
     d32 = _flat_delta(state.params, s32.params)
     d16 = _flat_delta(state.params, s16.params)
     cos = float(d32 @ d16 / (np.linalg.norm(d32) * np.linalg.norm(d16)))
-    # random-init nets give the weakest alignment (large activations, noisy
-    # deltas); measured ~0.97 here, ~0.999 once training has any signal
-    assert cos > 0.95, cos
+    # random-init nets give the weakest alignment (large activations, the
+    # gradient is mostly rounding-sensitive noise); measured ~0.95 with
+    # narrow bf16 activations. test_bf16_gradients_align_when_trained
+    # gates the regime that matters.
+    assert cos > 0.9, cos
     np.testing.assert_allclose(np.linalg.norm(d16), np.linalg.norm(d32),
                                rtol=0.05)
     # loss value itself within bf16 rounding of the exact one
     np.testing.assert_allclose(float(m16["cost"]), float(m32["cost"]),
                                rtol=0.05)
+
+
+def test_bf16_gradients_align_when_trained():
+    """After even a little training the gradient carries signal instead of
+    random-init noise, and the bf16 step must track the exact-f32 step
+    tightly there — that is the regime mixed precision actually runs in."""
+    cfg, tx, state, images, truths = _state_and_batch(lr=1e-4)
+    step32 = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE))
+    for _ in range(5):  # light warmup in exact f32
+        state, _ = step32(state, images, truths)
+    step16 = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                       compute_dtype=jnp.bfloat16))
+    s32, _ = step32(state, images, truths)
+    s16, _ = step16(state, images, truths)
+    d32 = _flat_delta(state.params, s32.params)
+    d16 = _flat_delta(state.params, s16.params)
+    cos = float(d32 @ d16 / (np.linalg.norm(d32) * np.linalg.norm(d16)))
+    assert cos > 0.99, cos
 
 
 def test_bf16_training_converges():

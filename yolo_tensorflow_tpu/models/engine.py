@@ -106,9 +106,13 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                                   epilogue_dtype=compute_dtype
                                   or jnp.float32)
             elif spec.bn and "gamma" in p:
+                # mp train: BN-conv activations stay narrow end-to-end
+                # (stats are still f32 inside batch_norm_train); only the
+                # bias/head convs below upcast, keeping the loss's raw
+                # logits f32
                 cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
                                pad=pad, compute_dtype=compute_dtype,
-                               train=train)
+                               train=train, out_dtype=compute_dtype)
                 if train:
                     cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"], bn_eps)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
@@ -144,6 +148,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             cur = L.transpose_flatten(cur)
         elif isinstance(spec, S.Dense):
             p = params[layer_key(i)]
+            if train and cur.dtype != jnp.float32:
+                # FC layers train in f32 (their f32-accumulating dot's VJP
+                # rejects mixed dtypes; v1-era heads, precision over speed)
+                cur = cur.astype(jnp.float32)
             if "gamma" in p:
                 # unfolded connected+BN (forward_connected_layer: matmul,
                 # BN w/ biases-as-beta, activation)
@@ -178,6 +186,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             detections.append((cur, spec))
         elif isinstance(spec, S.Local):
             p = params[layer_key(i)]
+            if train and cur.dtype != jnp.float32:
+                cur = cur.astype(jnp.float32)
             # exotic layers train in f32: their f32-accumulating einsum/conv
             # VJPs reject mixed (f32 cotangent, bf16 operand) dtypes, and
             # they carry a negligible share of any trained net's FLOPs
@@ -188,6 +198,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             cur = _activate(cur, spec.act)
         elif isinstance(spec, S.Deconv):
             p = params[layer_key(i)]
+            if train and cur.dtype != jnp.float32:
+                cur = cur.astype(jnp.float32)
             cd = None if train else compute_dtype  # see S.Local note
             if spec.bn and "gamma" in p:
                 cur = L.deconv2d(cur, p["w"], None, stride=spec.stride,
@@ -222,6 +234,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             cur = jax.nn.sigmoid(cur.astype(jnp.float32)).astype(cur.dtype)
         elif isinstance(spec, S.RECURRENT):
             from yolo_tensorflow_tpu.ops import recurrent as R
+            if train and cur.dtype != jnp.float32:
+                cur = cur.astype(jnp.float32)  # see S.Dense note
             key = layer_key(i)
             p = params[key]
             st = (batch_stats or {}).get(key)

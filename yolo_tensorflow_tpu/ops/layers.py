@@ -69,7 +69,7 @@ def connected_forward(x, p, st, act, *, train, bn_eps,
 
 
 def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None,
-           train=False):
+           train=False, out_dtype=None):
     """Conv with darknet explicit padding (size//2 per side).
 
     x: (B, H, W, Cin); w: (kh, kw, Cin, Cout) HWIO; b: (Cout,) or None.
@@ -80,12 +80,16 @@ def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None,
 
     ``train=True`` with a narrow compute_dtype selects the mixed-precision
     training form: the conv output is materialized in compute_dtype (MXU
-    still accumulates f32 internally, one rounding on output) and upcast to
-    f32 immediately after. This keeps the VJP dtype-consistent — the
-    transpose convs see (bf16 cotangent, bf16 operand) instead of the
-    unsupported (f32, bf16) mix ``preferred_element_type`` would produce —
-    so backward matmuls run at MXU bf16 speed while BN statistics, loss,
-    and optimizer state stay float32 (master weights).
+    still accumulates f32 internally, one rounding on output). This keeps
+    the VJP dtype-consistent — the transpose convs see (bf16 cotangent,
+    bf16 operand) instead of the unsupported (f32, bf16) mix
+    ``preferred_element_type`` would produce — so backward matmuls run at
+    MXU bf16 speed while BN statistics, loss, and optimizer state stay
+    float32 (master weights). ``out_dtype`` picks what the output upcasts
+    to afterwards: None = f32 (precise head logits, f32 bias add);
+    the compute dtype itself keeps the activation narrow between layers,
+    halving the train-time HBM traffic of both the forward and the
+    backward-sweep recompute reads.
     """
     k = w.shape[0]
     if pad is None:
@@ -105,7 +109,7 @@ def conv2d(x, w, b=None, *, stride=1, pad=None, compute_dtype=None,
         precision=precision,
     )
     if mp_train:
-        out = out.astype(jnp.float32)
+        out = out.astype(out_dtype or jnp.float32)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out
