@@ -20,7 +20,7 @@ import numpy as np
 
 
 def measure_train(model="yolov3", size=416, batch=32, steps=4,
-                  compute_dtype="bfloat16"):
+                  compute_dtype="bfloat16", remat_every=None):
     import jax
     import jax.numpy as jnp
     from yolo_tensorflow_tpu import config as C
@@ -34,7 +34,8 @@ def measure_train(model="yolov3", size=416, batch=32, steps=4,
     # "float32" = f32 operands at MXU default precision; "bfloat16" = the
     # mixed-precision training mode (tests/test_train_bf16.py)
     cd = None if compute_dtype is None else getattr(jnp, compute_dtype)
-    multi = L.make_multi_step(cfg, tx, steps, compute_dtype=cd)
+    multi = L.make_multi_step(cfg, tx, steps, compute_dtype=cd,
+                              remat_every=remat_every)
     step_fn = jax.jit(multi, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -68,6 +69,7 @@ def measure_train(model="yolov3", size=416, batch=32, steps=4,
         "batch": batch, "steps_per_dispatch": steps,
         "model": model, "size": size,
         "compute_dtype": compute_dtype or "float32-exact",
+        "remat_every": remat_every,
     }
 
 
@@ -77,7 +79,9 @@ def main():
         model=os.environ.get("BENCH_TRAIN_MODEL", "yolov3"),
         size=int(os.environ.get("BENCH_TRAIN_SIZE", "416")),
         batch=int(os.environ.get("BENCH_TRAIN_BATCH", "32")),
-        steps=int(os.environ.get("BENCH_TRAIN_STEPS", "4")))
+        steps=int(os.environ.get("BENCH_TRAIN_STEPS", "4")),
+        remat_every=(int(os.environ["BENCH_TRAIN_REMAT"])
+                     if os.environ.get("BENCH_TRAIN_REMAT") else None))
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res))
 
