@@ -168,3 +168,26 @@ def test_bf16_sharded_step_matches_unsharded(mesh_shape, min_cos):
     d_pl = _flat_delta(p0, s_pl.params)
     cos = float(d_sh @ d_pl / (np.linalg.norm(d_sh) * np.linalg.norm(d_pl)))
     assert cos > min_cos, (mesh_shape, cos)
+
+
+def test_bn_onepass_stats_and_gradients_track_twopass():
+    """bn_stats='onepass' (var = E[x^2]-E[x]^2, one fused activation read —
+    PERF_TRAIN.md) must agree with darknet's exact two-pass variance to f32
+    cancellation tolerance: batch stats elementwise-close, first-step param
+    deltas (= gradients under SGD) aligned, loss value close."""
+    cfg, tx, state, images, truths = _state_and_batch()
+    two = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE))
+    one = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                    bn_stats="onepass"))
+    s2, m2 = two(state, images, truths)
+    s1, m1 = one(state, images, truths)
+    np.testing.assert_allclose(float(m1["cost"]), float(m2["cost"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                    jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    d2 = _flat_delta(state.params, s2.params)
+    d1 = _flat_delta(state.params, s1.params)
+    cos = float(d2 @ d1 / (np.linalg.norm(d2) * np.linalg.norm(d1)))
+    assert cos > 0.9999, cos

@@ -680,6 +680,12 @@ def main(argv=None):
                         "recompute the rest (jax.checkpoint) — ~N-fold "
                         "lower activation HBM for one extra forward's "
                         "FLOPs; lets batch size grow past plain backprop")
+    p.add_argument("--bn-onepass", action="store_true",
+                   help="one-pass BN batch stats (var = E[x^2]-E[x]^2): "
+                        "mean and variance become sibling reductions XLA "
+                        "fuses into one activation read, cutting train-mode "
+                        "BN HBM traffic ~2x; not bit-identical to darknet's "
+                        "two-pass variance (PERF_TRAIN.md)")
     p.add_argument("--num-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num-spatial", type=int, default=1)

@@ -49,7 +49,7 @@ def _bn_stats(batch_stats, key):
 def apply(specs, params, x, *, train: bool = False, batch_stats=None,
           bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None,
           bn_formula: str = "darknet", time_steps: int = 1,
-          rec_state=None):
+          rec_state=None, bn_stats: str = "twopass"):
     """Run the network.
 
     Args:
@@ -68,6 +68,10 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         natively-trained params evaluated unfolded so train/deploy agree).
       time_steps: recurrent step count (darknet's net-level ``time_steps``,
         src/parser.c:650). Rows are step-major: x's leading dim is B*T.
+      bn_stats: train-mode BN batch-stat form for the conv path —
+        'twopass' (darknet-exact E[(x-mean)^2]) or 'onepass'
+        (E[x^2]-E[x]^2, one fused activation read; see
+        ops/layers.batch_norm_train and PERF_TRAIN.md).
       rec_state: {layer_key: state} initial recurrent state; None = zeros
         everywhere (a freshly loaded darknet net). The final state of every
         recurrent layer is returned in aux["rec_state"] so stateful
@@ -114,7 +118,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                                pad=pad, compute_dtype=compute_dtype,
                                train=train, out_dtype=compute_dtype)
                 if train:
-                    cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"], bn_eps)
+                    cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"],
+                                                   bn_eps, stats=bn_stats)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
                 else:
                     st = _bn_stats(batch_stats, layer_key(i))

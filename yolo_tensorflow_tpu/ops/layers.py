@@ -128,14 +128,28 @@ def batch_norm_inference(x, gamma, beta, mean, var, eps,
     return x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
 
 
-def batch_norm_train(x, gamma, beta, eps):
+def batch_norm_train(x, gamma, beta, eps, *, stats: str = "twopass"):
     """Training-mode BN over (B, H, W). Returns (y, batch_mean, batch_var);
     the train loop folds the batch stats into the running averages with the
     model's momentum (reference: model_darknet19.py:31 momentum=0.9,
-    YOLOV3.py:8 decay=0.9)."""
+    YOLOV3.py:8 decay=0.9).
+
+    stats='twopass' (default) is darknet's exact form — mean reduction,
+    then E[(x-mean)^2] (src/blas.c variance_cpu), two full reads of the
+    activation. stats='onepass' computes var = E[x^2] - E[x]^2: the two
+    reductions are independent siblings over the same input, so XLA fuses
+    them into ONE activation read — halving the stat-pass HBM traffic that
+    makes the train-mode forward ~1.9x the folded serving forward
+    (PERF_TRAIN.md). f32 accumulation bounds the cancellation error at
+    ~eps*mean^2/var relative (clamped at 0); opt-in because it is not
+    bit-identical to the C."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2))
-    var = jnp.var(x32, axis=(0, 1, 2))
+    if stats == "onepass":
+        m2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    else:
+        var = jnp.var(x32, axis=(0, 1, 2))
     inv = gamma * lax.rsqrt(var + eps)
     y = x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
     return y, mean, var

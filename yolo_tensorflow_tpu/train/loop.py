@@ -207,7 +207,7 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
 def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
                     ignore_thresh: float = 0.5, compute_dtype=None,
                     specs=None, remat_every: Optional[int] = None,
-                    **loss_kw):
+                    bn_stats: str = "twopass", **loss_kw):
     """Build the pure (state, images_u8, truths) -> (state, metrics) step.
 
     Multi-scale training (darknet's every-10-batches random resize,
@@ -232,7 +232,7 @@ def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
         dets, aux = engine.apply(specs, params, x, train=True,
                                  bn_eps=cfg.bn_eps,
                                  compute_dtype=compute_dtype,
-                                 dropout_rng=drng)
+                                 dropout_rng=drng, bn_stats=bn_stats)
         return [f.astype(jnp.float32) for f, _ in dets], \
             aux["batch_stats"]
 
