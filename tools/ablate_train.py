@@ -109,11 +109,11 @@ def main(batch=128, size=416, model="yolov3"):
     serve_fwd = make_forward(cfg, specs, compute_dtype=jnp.bfloat16,
                              score_dtype=jnp.bfloat16)
 
-    def fwd_only(params, batch_stats, imgs):
+    def fwd_only(params, batch_stats, imgs, bn_stats="twopass"):
         x = normalize_images(imgs, cfg)
         dets, _ = engine.apply(specs, params, x, train=True,
                                bn_eps=cfg.bn_eps, compute_dtype=cd,
-                               dropout_rng=drng)
+                               dropout_rng=drng, bn_stats=bn_stats)
         return sum(f.astype(jnp.float32).sum() for f, _ in dets)
 
     rows = []
@@ -123,6 +123,11 @@ def main(batch=128, size=416, model="yolov3"):
     t = timeit(chained(
         lambda im: fwd_only(state.params, state.batch_stats, im)), images)
     rows.append(("train fwd only (unfolded BN, batch stats)", t, 1.0))
+
+    t = timeit(chained(
+        lambda im: fwd_only(state.params, state.batch_stats, im,
+                            bn_stats="onepass")), images)
+    rows.append(("train fwd only, onepass BN stats (--bn-onepass)", t, 1.0))
 
     t = timeit(chained(
         lambda im: loss_fn(state.params, state.batch_stats, im, truths)),
@@ -166,8 +171,10 @@ def main(batch=128, size=416, model="yolov3"):
         tflops = ips * fwd_gflops * fmul / 1e3
         print(f"{name:<46} {sec*1e3:8.1f} {ips:7.0f} "
               f"{100*tflops/V5E_BF16_PEAK_TFLOPS:6.1f}")
-    fo_t, fwd_t, grad_t, full_t = (rows[1][1], rows[2][1], rows[3][1],
-                                   rows[4][1])
+    fo_t, fwd_t, grad_t, full_t = (rows[1][1], rows[3][1], rows[4][1],
+                                   rows[5][1])
+    print(f"onepass BN stats save {(fo_t-rows[2][1])*1e3:.1f} ms on the "
+          f"train forward")
     print(f"\nloss adds {(fwd_t-fo_t)*1e3:.1f} ms on the train forward; "
           f"backward adds {(grad_t-fwd_t)/fwd_t:.2f}x the train forward "
           f"(cost model predicts 2x); optimizer+stats epilogue adds "
