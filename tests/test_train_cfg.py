@@ -345,3 +345,74 @@ def test_partial_through_cli_argparse(tmp_path, capsys):
     assert out.exists() and out.stat().st_size < full.stat().st_size
     text = capsys.readouterr().out
     assert "first 6 darknet layers" in text
+
+
+TINY_V1_CFG = """[net]
+batch=4
+subdivisions=1
+height=64
+width=64
+channels=3
+momentum=0.9
+decay=0.0005
+learning_rate=0.001
+burn_in=0
+max_batches=4
+policy=steps
+steps=3
+scales=.5
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=4
+pad=1
+activation=leaky
+
+[maxpool]
+size=2
+stride=2
+
+[connected]
+output=112
+activation=linear
+
+[detection]
+classes=2
+coords=4
+rescore=1
+side=4
+num=1
+object_scale=1
+noobject_scale=.5
+class_scale=1
+coord_scale=5
+softmax=0
+sqrt=1
+jitter=.2
+random=1
+"""
+
+
+def test_v1_detection_random_is_not_multiscale(tmp_path, capsys):
+    """A [detection] section's random=1 is the v1 random-responsibility
+    override (detection_layer.c:143), NOT darknet's multi-scale resize flag
+    (detector.c:63 applies only to region/yolo heads) — training a v1 cfg
+    with random=1 must run, not abort with the '--multiscale is
+    incompatible with v1' SystemExit."""
+    from yolo_tensorflow_tpu.train.runner import run_training
+    cfg_path = tmp_path / "tiny-v1.cfg"
+    cfg_path.write_text(TINY_V1_CFG)
+    names = tmp_path / "names.txt"
+    names.write_text("thing\nother\n")
+    lst = _make_dataset(tmp_path)
+    args = argparse.Namespace(
+        model=None, cfg=str(cfg_path), list=lst, val_list=None,
+        names=str(names), weights=None, ckpt_dir=str(tmp_path / "ck"),
+        batch_size=None, steps=1, lr=None, burn_in=None,
+        multiscale=False, num_data=2, num_spatial=1, save_every=1,
+        log_every=1, input_size=None, eval_every=0)
+    run_training(args)
+    out = capsys.readouterr().out
+    assert "step 1" in out

@@ -265,6 +265,8 @@ def probe_shape(name, B, H, W, Cin, Cout, co_tile, iters=30):
     got3 = np.asarray(pallas_conv3x3_k3gemm_int8(x, w8, tm=1024,
                                                  co_tile=co_tile))
     np.testing.assert_array_equal(got3, ref)
+    gotd = np.asarray(_pallas_on_unpadded(x, w8, co_tile=co_tile))
+    np.testing.assert_array_equal(gotd, ref)
 
     t_xla8 = measure_chain(xla_conv_int8, x, w8, iters,
                            perturb_dtype=jnp.int8)

@@ -53,6 +53,7 @@ def _build_detector(args):
         # flip-TTA: v2 decode-level (region_layer.c:368) or v3 eval-level
         # (validate_detector_flip, examples/detector.c:234)
         nms["tta"] = True
+        nms["tta_mode"] = getattr(args, "tta_mode", None) or "darknet"
     params = None
     weights = args.weights
     if weights and weights.endswith(".npz"):
@@ -470,6 +471,7 @@ def cmd_partial(args):
     fine-tuning (consumed via ``train --weights backbone.conv.N
     --partial-weights``)."""
     from yolo_tensorflow_tpu.io import weights as W
+    head = None
     if args.cfg:
         from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
         specs, net, _ = parse_cfg_file(args.cfg)
@@ -479,14 +481,14 @@ def cmd_partial(args):
         from yolo_tensorflow_tpu.config import build_specs, get_config
         cfg = get_config(args.model)
         specs = build_specs(cfg)
-        input_size, bn_eps = cfg.input_size, cfg.bn_eps
+        input_size, bn_eps, head = cfg.input_size, cfg.bn_eps, cfg.head
     else:
         raise SystemExit("partial needs --model or --cfg")
     params, stats, header = W.load_darknet_weights(
         specs, input_size, args.weights, fold=False, bn_eps=bn_eps)
     W.save_darknet_weights(specs, input_size, params, stats, args.out,
-                           upto=args.upto, seen=0)
-    kept = W._spec_cutoff(specs, args.upto)
+                           upto=args.upto, seen=0, head=head)
+    kept = W._spec_cutoff(specs, args.upto, head)
     n_weighted = sum(1 for sp in specs[:kept] if W._has_weights(sp))
     print(f"wrote {args.out}: first {args.upto} darknet layers "
           f"({n_weighted} weighted) of {args.weights}, seen reset to 0")
@@ -633,6 +635,12 @@ def main(argv=None):
                    help="flip-TTA eval: average each image with its "
                         "mirror before decode (validate_detector_flip "
                         "'valid2', examples/detector.c:234)")
+    p.add_argument("--tta-mode", choices=("darknet", "corrected"),
+                   default="darknet",
+                   help="flip mirroring: 'darknet' reproduces the C's "
+                        "buggy plane negation (avg_flipped_yolo; measured "
+                        "-0.044 mAP on the hard synthetic task), "
+                        "'corrected' mirrors properly (+0.044)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model (detector or classifier)")

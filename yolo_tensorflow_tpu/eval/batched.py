@@ -38,8 +38,9 @@ def _read_rgb(path: str) -> np.ndarray:
 
 
 def _canvas_side(h: int, w: int, input_size: int) -> int:
-    # same 256-px bucketing as Detector._detect_fused
-    return max(((max(h, w, input_size) + 255) // 256) * 256, 256)
+    # the one bucketing definition lives in pipeline.canvas_side
+    from yolo_tensorflow_tpu.pipeline import canvas_side
+    return canvas_side(h, w, input_size)
 
 
 def detect_images(det, images: Sequence[np.ndarray],
@@ -125,9 +126,8 @@ def _detect(det, images, paths, *, batch_size, num_workers,
     # explicit device_put (measured ~2.3x per batch through the axon
     # tunnel). So: device_put the input batch first, and pack the outputs
     # into ONE f32 array on device (bit-exact — post/nms.pack_detections).
-    from yolo_tensorflow_tpu.post.nms import (pack_detections,
-                                              unpack_detections)
-    _pack = jax.jit(pack_detections)
+    from yolo_tensorflow_tpu.post.nms import packed_jit, unpack_detections
+    _pack = packed_jit()
 
     def finalize(packed, metas):
         """Device batch -> per-image result dicts; the same host un-scaling

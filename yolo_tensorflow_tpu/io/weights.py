@@ -175,7 +175,8 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
                          bn_formula: str = "darknet",
                          in_channels: int = 3,
                          upto: Optional[int] = None,
-                         allow_partial: bool = False):
+                         allow_partial: bool = False,
+                         head: Optional[int] = None):
     """Parse a .weights stream against ``specs``.
 
     Returns (params, batch_stats, header). When fold=True batch_stats is {}
@@ -204,7 +205,7 @@ def load_darknet_weights(specs, input_size: int, path_or_bytes, *,
     batch_stats: Dict[str, Dict[str, np.ndarray]] = {}
     ptr = 0
     prev = (1, input_size, input_size, in_channels)
-    cutoff = _spec_cutoff(specs, upto)
+    cutoff = _spec_cutoff(specs, upto, head)
     stopped_early = cutoff < len(specs)
     for i, spec in enumerate(specs):
         if i >= cutoff:
@@ -301,16 +302,19 @@ def _has_weights(spec) -> bool:
 
 def save_darknet_weights(specs, input_size: int, params, batch_stats, path, *,
                          seen: int = 0, in_channels: int = 3,
-                         upto: Optional[int] = None):
+                         upto: Optional[int] = None,
+                         head: Optional[int] = None):
     """Write params back to darknet .weights (the save_weights_upto
     equivalent, src/parser.c:992). Requires unfolded BN params for BN convs.
 
     ``upto``: emit only the first ``upto`` darknet layers' weights — the
     ``partial`` command's backbone truncation (examples/darknet.c:491:
     save_weights_upto(net, outfile, max)), producing pretrain files like
-    darknet19_448.conv.23."""
+    darknet19_448.conv.23. ``head``: the model's head id, so a classifier's
+    (head==0) Detect marker is not counted as a darknet layer by the
+    cutoff — matching specs_to_cfg's emission (io/cfg.py)."""
     shapes = infer_shapes(specs, (1, input_size, input_size, in_channels))
-    cutoff = _spec_cutoff(specs, upto)
+    cutoff = _spec_cutoff(specs, upto, head)
     with open(path, "wb") as fp:
         write_header(fp, seen=seen)
         prev = (1, input_size, input_size, in_channels)

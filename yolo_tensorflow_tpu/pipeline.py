@@ -32,6 +32,40 @@ def normalize_images(images_uint8, cfg: C.ModelConfig, dtype=jnp.float32):
     return x / cfg.input_scale
 
 
+def _nms_opts(cfg, max_detections, conf_threshold, iou_threshold,
+              class_aware_nms, num_candidates):
+    """Resolve the per-call NMS overrides against the model config ONCE —
+    every forward factory shares this, so a threshold-defaulting fix cannot
+    diverge between the plain/TTA/letterbox/smoothed paths."""
+    return dict(
+        max_detections=(cfg.max_detections if max_detections is None
+                        else max_detections),
+        conf_threshold=(cfg.conf_threshold if conf_threshold is None
+                        else conf_threshold),
+        iou_threshold=(cfg.iou_threshold if iou_threshold is None
+                       else iou_threshold),
+        class_aware=(cfg.class_aware_nms if class_aware_nms is None
+                     else class_aware_nms),
+        num_candidates=num_candidates,
+    )
+
+
+def _decode_v3_activated_scales(acts, det_specs, cfg):
+    """Activated per-scale v3 outputs -> concatenated
+    (boxes_xyxy, scores, labels) — the shared tail of the flip-TTA and
+    rolling-average paths (both average activations before decode)."""
+    bp, sp, lp = [], [], []
+    for avg, det in zip(acts, det_specs):
+        anchors = [cfg.anchors[i] for i in det.anchor_mask]
+        b, s, l = heads.decode_v3_scale_activated(
+            avg, anchors, cfg.input_size, cfg.num_classes)
+        bp.append(b)
+        sp.append(s)
+        lp.append(l)
+    return (heads.xywh_to_xyxy(jnp.concatenate(bp, axis=1)),
+            jnp.concatenate(sp, axis=1), jnp.concatenate(lp, axis=1))
+
+
 def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
                  num_candidates: int = 256,
                  max_detections: Optional[int] = None,
@@ -50,10 +84,8 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
     (N, C) score intermediate I expected to round-trip HBM is already
     fusion-eliminated by XLA. Kept as a parity-tested option and a
     baseline for future kernel work (see tests/test_pallas_decode.py)."""
-    max_det = cfg.max_detections if max_detections is None else max_detections
-    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
-    iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
-    class_aware = cfg.class_aware_nms if class_aware_nms is None else class_aware_nms
+    nms_kw = _nms_opts(cfg, max_detections, conf_threshold, iou_threshold,
+                       class_aware_nms, num_candidates)
     if fused_decode is None:
         fused_decode = False
 
@@ -73,24 +105,17 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
             x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
             dets2, _ = engine.apply(specs, params, x2, bn_eps=cfg.bn_eps,
                                     compute_dtype=compute_dtype)
-            boxes_p, scores_p, labels_p = [], [], []
+            avgs, det_specs = [], []
             for feat2, det in dets2:
-                anchors = [cfg.anchors[i] for i in det.anchor_mask]
-                act = heads.activate_v3(feat2, len(anchors),
+                act = heads.activate_v3(feat2, len(det.anchor_mask),
                                         cfg.num_classes)
-                avg = heads.yolo_flip_tta(act[:B], act[B:], len(anchors),
-                                          cfg.num_classes, mode=tta_mode)
-                bx, sc, lb = heads.decode_v3_scale_activated(
-                    avg, anchors, cfg.input_size, cfg.num_classes)
-                boxes_p.append(bx)
-                scores_p.append(sc)
-                labels_p.append(lb)
-            boxes = heads.xywh_to_xyxy(jnp.concatenate(boxes_p, axis=1))
-            return NMS.batched_nms_scored(
-                boxes, jnp.concatenate(scores_p, axis=1),
-                jnp.concatenate(labels_p, axis=1), conf_threshold=conf_t,
-                iou_threshold=iou_t, max_detections=max_det,
-                num_candidates=num_candidates, class_aware=class_aware)
+                avgs.append(heads.yolo_flip_tta(
+                    act[:B], act[B:], len(det.anchor_mask),
+                    cfg.num_classes, mode=tta_mode))
+                det_specs.append(det)
+            boxes, scores, labels = _decode_v3_activated_scales(
+                avgs, det_specs, cfg)
+            return NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
         if tta:
             # flip-TTA (get_region_detections batch==2 averaging): run the
             # image and its mirror through one doubled batch, average the
@@ -104,30 +129,21 @@ def make_forward(cfg: C.ModelConfig, specs, *, compute_dtype=None,
             avg = heads.region_flip_tta(act[:B], act[B:], cfg,
                                         mode=tta_mode)
             boxes_xywh, conf, probs = heads.decode_v2_activated(avg, cfg)
-            boxes = heads.xywh_to_xyxy(boxes_xywh)
-            return NMS.batched_nms(
-                boxes, conf, probs, conf_threshold=conf_t,
-                iou_threshold=iou_t, max_detections=max_det,
-                num_candidates=num_candidates, class_aware=class_aware)
+            return NMS.batched_nms(heads.xywh_to_xyxy(boxes_xywh), conf,
+                                   probs, **nms_kw)
         dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
                                compute_dtype=compute_dtype)
         if fused_decode:
             from yolo_tensorflow_tpu.ops.pallas.decode import decode_fused
             boxes, scores, labels = decode_fused(dets, cfg)
-            return NMS.batched_nms_scored(
-                boxes, scores, labels, conf_threshold=conf_t,
-                iou_threshold=iou_t, max_detections=max_det,
-                num_candidates=num_candidates, class_aware=class_aware)
+            return NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
         # decode_scored: same scoring as decode()+batched_nms but the
         # (N, C) class activation is reduced (max/argmax on raw logits)
         # instead of materialized — exactness argument in its docstring
         boxes_xywh, scores, labels = heads.decode_scored(
             dets, cfg, score_dtype=score_dtype or jnp.float32)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
-        return NMS.batched_nms_scored(
-            boxes, scores, labels, conf_threshold=conf_t,
-            iou_threshold=iou_t, max_detections=max_det,
-            num_candidates=num_candidates, class_aware=class_aware)
+        return NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
 
     return forward
 
@@ -147,11 +163,8 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
     (correct_yolo_boxes equivalent) run on device with traced scalars, so
     one compilation serves every input size up to the canvas."""
     from yolo_tensorflow_tpu.ops import preprocess as P
-    max_det = cfg.max_detections if max_detections is None else max_detections
-    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
-    iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
-    class_aware = (cfg.class_aware_nms if class_aware_nms is None
-                   else class_aware_nms)
+    nms_kw = _nms_opts(cfg, max_detections, conf_threshold, iou_threshold,
+                       class_aware_nms, num_candidates)
     S = cfg.input_size
 
     # fold the per-model normalization (normalize_images' contract) into
@@ -172,10 +185,7 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
         boxes_xywh, scores, labels = heads.decode_scored(
             dets, cfg, score_dtype=score_dtype or jnp.float32)
         boxes = heads.xywh_to_xyxy(boxes_xywh)
-        out = NMS.batched_nms_scored(
-            boxes, scores, labels, conf_threshold=conf_t,
-            iou_threshold=iou_t, max_detections=max_det,
-            num_candidates=num_candidates, class_aware=class_aware)
+        out = NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
         boxes_px = jax.vmap(
             lambda b, s: P.unmap_boxes_device(b, s[0], s[1], S))(
                 out.boxes, sizes)
@@ -203,12 +213,8 @@ def make_forward_smoothed(cfg: C.ModelConfig, specs, avg_frames: int, *,
     with zeros too). Everything — activation, sliding mean, decode, NMS —
     is one compiled program.
     """
-    from yolo_tensorflow_tpu.models import specs as S
-    max_det = cfg.max_detections if max_detections is None else max_detections
-    conf_t = cfg.conf_threshold if conf_threshold is None else conf_threshold
-    iou_t = cfg.iou_threshold if iou_threshold is None else iou_threshold
-    class_aware = (cfg.class_aware_nms if class_aware_nms is None
-                   else class_aware_nms)
+    nms_kw = _nms_opts(cfg, max_detections, conf_threshold, iou_threshold,
+                       class_aware_nms, num_candidates)
     N = int(avg_frames)
     if N < 2:
         raise ValueError("avg_frames must be >= 2 (darknet demo_frame=3)")
@@ -238,36 +244,16 @@ def make_forward_smoothed(cfg: C.ModelConfig, specs, avg_frames: int, *,
         smoothed = [sum(f[k:k + B] for k in range(N)) / N for f in full]
         new_tails = tuple(f[B:] for f in full)         # last N-1 frames
         if cfg.head == 3:
-            bp, sp, lp = [], [], []
-            for avg, det in zip(smoothed, det_specs):
-                anchors = [cfg.anchors[i] for i in det.anchor_mask]
-                b, s, l = heads.decode_v3_scale_activated(
-                    avg, anchors, cfg.input_size, cfg.num_classes)
-                bp.append(b)
-                sp.append(s)
-                lp.append(l)
-            boxes = heads.xywh_to_xyxy(jnp.concatenate(bp, axis=1))
-            out = NMS.batched_nms_scored(
-                boxes, jnp.concatenate(sp, axis=1),
-                jnp.concatenate(lp, axis=1), conf_threshold=conf_t,
-                iou_threshold=iou_t, max_detections=max_det,
-                num_candidates=num_candidates, class_aware=class_aware)
-        elif cfg.head == 2:
-            (avg,) = smoothed
-            boxes_xywh, conf, probs = heads.decode_v2_activated(avg, cfg)
-            out = NMS.batched_nms(
-                heads.xywh_to_xyxy(boxes_xywh), conf, probs,
-                conf_threshold=conf_t, iou_threshold=iou_t,
-                max_detections=max_det, num_candidates=num_candidates,
-                class_aware=class_aware)
+            boxes, scores, labels = _decode_v3_activated_scales(
+                smoothed, det_specs, cfg)
+            out = NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
         else:
             (avg,) = smoothed
-            boxes_xywh, conf, probs = heads.decode_v1(avg, cfg)
-            out = NMS.batched_nms(
-                heads.xywh_to_xyxy(boxes_xywh), conf, probs,
-                conf_threshold=conf_t, iou_threshold=iou_t,
-                max_detections=max_det, num_candidates=num_candidates,
-                class_aware=class_aware)
+            decode = (heads.decode_v2_activated if cfg.head == 2
+                      else heads.decode_v1)
+            boxes_xywh, conf, probs = decode(avg, cfg)
+            out = NMS.batched_nms(heads.xywh_to_xyxy(boxes_xywh), conf,
+                                  probs, **nms_kw)
         return out, new_tails
 
     return forward
@@ -287,6 +273,14 @@ def smooth_state_shapes(cfg: C.ModelConfig, specs, batch_size: int,
             tails.append(np.zeros((avg_frames - 1,) + tuple(shp[1:]),
                                   np.float32))
     return tuple(tails)
+
+
+def canvas_side(h: int, w: int, input_size: int) -> int:
+    """Fused-letterbox canvas bucket for an (h, w) image: canvases quantize
+    to 256-px buckets so arbitrary input sizes share a handful of compiled
+    executables (Detector._detect_fused and eval/batched.py must agree —
+    this is the single definition)."""
+    return max(((max(h, w, input_size) + 255) // 256) * 256, 256)
 
 
 class Detector:
@@ -431,9 +425,8 @@ class Detector:
         else (resize, pad, normalize, backbone, decode, NMS, box un-map)
         inside one compiled program. Boxes come back in original pixels."""
         h, w = image.shape[:2]
-        canvas_side = max(((max(h, w, self.cfg.input_size) + 255) // 256)
-                          * 256, 256)
-        canvas = np.zeros((1, canvas_side, canvas_side, 3), np.uint8)
+        side = canvas_side(h, w, self.cfg.input_size)
+        canvas = np.zeros((1, side, side, 3), np.uint8)
         canvas[0, :h, :w] = image
         sizes = np.asarray([[h, w]], np.int32)
         dets = NMS.fetch_detections(
@@ -448,7 +441,16 @@ class Detector:
 
     def detect_batch_fused(self, canvas_uint8, sizes) -> NMS.Detections:
         """Batched fused letterbox serving: (B, Hc, Hc, 3) uint8 canvases +
-        (B, 2) int32 [h, w]. Boxes in each image's original pixels."""
+        (B, 2) int32 [h, w]. Boxes in each image's original pixels.
+
+        ``sizes`` already on device (eval/batched.py pre-puts it to overlap
+        the transfer) passes through untouched — np.asarray here would be a
+        blocking device->host fetch per batch, serializing the prefetch
+        pipeline through high-latency links."""
+        if isinstance(sizes, jax.Array):
+            if sizes.dtype != jnp.int32:
+                sizes = sizes.astype(jnp.int32)   # device-side cast
+            return self._jit_fused(self.params, canvas_uint8, sizes)
         return self._jit_fused(self.params, canvas_uint8,
                                np.asarray(sizes, np.int32))
 

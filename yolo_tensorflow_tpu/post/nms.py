@@ -68,16 +68,23 @@ def unpack_detections(arr) -> Detections:
 _PACK_JIT = None
 
 
+def packed_jit():
+    """The process-wide compiled pack_detections (compile once, reuse
+    everywhere — eval/batched.py shares it instead of re-jitting per
+    detect_images call)."""
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        _PACK_JIT = jax.jit(pack_detections)
+    return _PACK_JIT
+
+
 def fetch_detections(dets: Detections) -> Detections:
     """Device Detections -> numpy-backed Detections in ONE host transfer
     (pack on device, fetch once, unpack on host). Values are bit-identical
     to fetching each field; on remote links this replaces five round
     trips with one."""
     import numpy as np
-    global _PACK_JIT
-    if _PACK_JIT is None:
-        _PACK_JIT = jax.jit(pack_detections)
-    return unpack_detections(np.asarray(_PACK_JIT(dets)))
+    return unpack_detections(np.asarray(packed_jit()(dets)))
 
 
 def iou_matrix(boxes):

@@ -130,8 +130,13 @@ def run_training(args):
             loss_kw["detection_hyper"] = \
                 losses.DetectionHyper.from_options(h0)
         # darknet multi-scale comes from the head section's random=1
-        # (detector.c:63 'if(l.random && count++%10 == 0)')
-        cfg_multiscale = bool(int(h0.get("random", net.get("random", 0))))
+        # (detector.c:63 'if(l.random && count++%10 == 0)') — but ONLY for
+        # region/yolo heads: a [detection] section's `random` is the v1
+        # random-responsibility override (detection_layer.c:143, consumed
+        # above via DetectionHyper.from_options), not a resize flag
+        if cfg.head in (2, 3):
+            cfg_multiscale = bool(int(h0.get("random",
+                                             net.get("random", 0))))
         if getattr(args, "input_size", None):
             if cfg.head == 1:
                 raise SystemExit("--input-size cannot override a v1 "
