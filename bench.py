@@ -157,6 +157,26 @@ def main():
         lats.append(time.perf_counter() - t)
     p50_ms = float(np.median(lats) * 1e3)
 
+    # device-only batch-1 latency (chained iters, one readback): the
+    # per-image serving latency a co-located client would see — the e2e
+    # p50 above includes this environment's remote-tunnel RTT, which is
+    # a harness artifact, not model time
+    img1 = jax.device_put(np.asarray(images[:1]))
+
+    @jax.jit
+    def chained1(p, im):
+        def body(_, carry):
+            im, acc = carry
+            out = fwd(p, im)
+            im = im + (out.num.sum() % 2).astype(jnp.uint8)
+            return im, acc + out.num.sum()
+        _, acc = lax.fori_loop(0, iters, body, (im, jnp.int32(0)))
+        return acc
+    _ = int(chained1(qparams, img1))
+    t0 = time.perf_counter()
+    _ = int(chained1(qparams, img1))
+    batch1_ms = (time.perf_counter() - t0) / iters * 1e3
+
     # training-step throughput (full darknet-exact loss + backward + SGD,
     # multi-step scan — tools/bench_train.py). bf16 mixed precision is the
     # TPU training mode (gradients gated vs f32, tests/test_train_bf16.py).
@@ -191,6 +211,7 @@ def main():
                   "(noise). See tools/synthetic_train_demo.py",
                   "batch": batch, "iters_chained": iters,
                   "p50_batch_e2e_ms_incl_host_readback": round(p50_ms, 2),
+                  "batch1_device_latency_ms_int8": round(batch1_ms, 3),
                   **train_extra,
                   "platform": jax.devices()[0].platform,
                   "device": str(jax.devices()[0])},
