@@ -234,3 +234,23 @@ def test_cli_stream_save_dir(tmp_path, capsys):
     # annotation actually drew something: frame differs from the flat input
     ann = cv2.imread(str(written[0]))
     assert (ann != 100).any()
+
+
+def test_cli_flip_tta_mode_reaches_detector(monkeypatch):
+    """eval --flip --tta-mode corrected must construct the Detector with
+    tta=True AND tta_mode='corrected' — the corrected mirroring (the mode
+    that GAINS mAP) must be reachable from the CLI, not just the API."""
+    import argparse
+    from yolo_tensorflow_tpu import cli
+    import yolo_tensorflow_tpu.pipeline as P
+    captured = {}
+    monkeypatch.setattr(P, "Detector",
+                        lambda *a, **k: captured.update(k) or object())
+    args = argparse.Namespace(
+        model="yolov2-tiny-voc", cfg=None, weights=None,
+        conf_threshold=None, iou_threshold=None, max_detections=None,
+        input_size=None, bf16=False, letterbox=False,
+        fused_letterbox=False, flip=True, tta_mode="corrected", names=None)
+    cli._build_detector(args)
+    assert captured["tta"] is True
+    assert captured["tta_mode"] == "corrected"
