@@ -157,7 +157,8 @@ def make_batch(rng, n, max_boxes=8, hard=False):
     return imgs, tr
 
 
-def main(steps=1200, batch=32, model="yolov3-tiny", hard=False):
+def main(steps=1200, batch=32, model="yolov3-tiny", hard=False,
+         bn_stats="twopass"):
     import dataclasses
     import jax
     from yolo_tensorflow_tpu import config as C
@@ -188,7 +189,8 @@ def main(steps=1200, batch=32, model="yolov3-tiny", hard=False):
     # 3-class baseline stays exact-f32 so its recorded numbers are stable
     step = jax.jit(T.make_train_step(
         cfg, tx, input_size=SIZE,
-        compute_dtype=jnp.bfloat16 if hard else None), donate_argnums=(0,))
+        compute_dtype=jnp.bfloat16 if hard else None,
+        bn_stats=bn_stats), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     pool = [make_batch(rng, batch, hard=hard)
@@ -272,4 +274,5 @@ def main(steps=1200, batch=32, model="yolov3-tiny", hard=False):
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200,
          model=sys.argv[2] if len(sys.argv) > 2 else "yolov3-tiny",
-         hard="hard" in sys.argv[3:])
+         hard="hard" in sys.argv[3:],
+         bn_stats="onepass" if "onepass" in sys.argv[3:] else "twopass")
