@@ -67,6 +67,10 @@ class NetTrainOptions:
     scales: Sequence[float] = ()
     gamma: float = 1.0
     max_batches: int = 0
+    adam: bool = False
+    B1: float = 0.9
+    B2: float = 0.999
+    eps: float = 1e-7
 
     @classmethod
     def from_net(cls, net: dict) -> "NetTrainOptions":
@@ -84,6 +88,11 @@ class NetTrainOptions:
             step=int(net.get("step", 1)),
             scale=float(net.get("scale", 1)),
             max_batches=int(net.get("max_batches", 0)),
+            # adam=1 + B1/B2/eps (src/parser.c:657-662)
+            adam=bool(int(net.get("adam", 0))),
+            B1=float(net.get("B1", 0.9)),
+            B2=float(net.get("B2", 0.999)),
+            eps=float(net.get("eps", 1e-7)),
         )
         if kw["policy"] == "steps":
             if "steps" not in net or "scales" not in net:
@@ -149,6 +158,74 @@ def make_optimizer(schedule, *, momentum: float = 0.9,
         optax.add_decayed_weights(weight_decay, mask=decay_mask),
         optax.sgd(schedule, momentum=momentum),
     )
+
+
+class DarknetAdamState(NamedTuple):
+    count: jax.Array
+    m: Any
+    v: Any
+
+
+def darknet_adam(schedule, *, b1: float = 0.9, b2: float = 0.999,
+                 eps: float = 1e-7, decay: float = 0.0, batch: int = 1):
+    """darknet's Adam (``[net] adam=1``), transcribed from the GPU kernels —
+    adam_update_gpu / adam_kernel (src/blas_kernels.cu):
+
+        d  = weight_updates - decay*batch*weights      (decay on EVERY
+             tensor under adam, biases and BN scales included — unlike the
+             SGD branch, update_convolutional_layer_gpu passes ``decay``
+             to all three adam_update_gpu calls)
+        m <- B1*m + (1-B1)*d ;  v <- B2*v + (1-B2)*d^2
+        w <- w + rate * (m/(1-B1^t)) / (sqrt(v/(1-B2^t)) + eps) ;  d <- 0
+
+    where ``rate`` is the schedule's learning rate UNdivided by batch
+    (Adam normalizes the step itself) and t counts updates from 1.
+    Our gradients are g = -d/batch (the delta identity the loss tests
+    pin), so d is reconstructed as -batch*(g + decay*w): the batch factor
+    cancels in m/sqrt(v) except against ``eps``, and keeping it makes the
+    step bit-comparable to the C at any batch size. Note the C's CPU
+    update path silently IGNORES adam=1 (update_convolutional_layer has
+    no adam branch); this matches the GPU path — the one that actually
+    honors the option.
+    """
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return DarknetAdamState(count=jnp.zeros([], jnp.int32), m=z,
+                                v=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        if params is None:
+            raise ValueError("darknet_adam requires params (weight decay)")
+        rate = schedule(state.count)
+        t = (state.count + 1).astype(jnp.float32)
+        d = jax.tree.map(lambda g, w: -batch * (g + decay * w),
+                         grads, params)
+        m = jax.tree.map(lambda m_, d_: b1 * m_ + (1.0 - b1) * d_,
+                         state.m, d)
+        v = jax.tree.map(lambda v_, d_: b2 * v_ + (1.0 - b2) * d_ * d_,
+                         state.v, d)
+        c1 = 1.0 - jnp.float32(b1) ** t
+        c2 = 1.0 - jnp.float32(b2) ** t
+        upd = jax.tree.map(
+            lambda m_, v_: rate * (m_ / c1) / (jnp.sqrt(v_ / c2) + eps),
+            m, v)
+        return upd, DarknetAdamState(count=state.count + 1, m=m, v=v)
+
+    return optax.GradientTransformation(init, update)
+
+
+def optimizer_from_net(opts: "NetTrainOptions", *, batch: Optional[int] =
+                       None, schedule=None):
+    """The optimizer update_network would run for this [net] section:
+    darknet_adam when adam=1, else SGD+momentum+decay (src/network.c
+    update_network -> l.update)."""
+    schedule = darknet_schedule(opts) if schedule is None else schedule
+    if opts.adam:
+        return darknet_adam(schedule, b1=opts.B1, b2=opts.B2, eps=opts.eps,
+                            decay=opts.decay,
+                            batch=batch or max(opts.batch, 1))
+    return make_optimizer(schedule, momentum=opts.momentum,
+                          weight_decay=opts.decay)
 
 
 def create_train_state(cfg: C.ModelConfig, tx, rng, *,

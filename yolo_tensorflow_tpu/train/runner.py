@@ -185,17 +185,20 @@ def run_training(args):
                      if getattr(args, "burn_in", None) is not None
                      else net_opts.burn_in))
         schedule = T.darknet_schedule(eff)
-        tx = T.make_optimizer(schedule, momentum=eff.momentum,
-                              weight_decay=eff.decay)
         total_steps = (args.steps if getattr(args, "steps", None) is not None
                        else (eff.max_batches or 500200))
         batch_size = (args.batch_size
                       if getattr(args, "batch_size", None) is not None
                       else max(eff.batch, 1))
+        # adam=1 selects darknet's Adam (src/parser.c:657, the GPU update
+        # branch); otherwise SGD+momentum+decay
+        tx = T.optimizer_from_net(eff, batch=batch_size, schedule=schedule)
         print(f"[net] lr {eff.learning_rate} policy {eff.policy} "
               f"burn_in {eff.burn_in} momentum {eff.momentum} "
               f"decay {eff.decay} max_batches {eff.max_batches} "
-              f"batch {batch_size}")
+              f"batch {batch_size}"
+              + (f" adam B1={eff.B1} B2={eff.B2} eps={eff.eps}"
+                 if eff.adam else ""))
     else:
         lr = args.lr if getattr(args, "lr", None) is not None else 1e-3
         burn_in = (args.burn_in
