@@ -150,10 +150,69 @@ def cmd_export(args):
     print(f"wrote {args.out}")
 
 
+def _eval_classifier(args):
+    """Classifier valid: top-1/top-k accuracy over a path list
+    (validate_classifier_single, examples/classifier.c:303)."""
+    import sys
+    import jax.numpy as jnp
+    from yolo_tensorflow_tpu.pipeline import Classifier
+    from yolo_tensorflow_tpu.eval.classify import (read_validation_list,
+                                                   validate_classifier)
+    cd = jnp.bfloat16 if args.bf16 else None
+    params, weights = None, args.weights
+    if weights and weights.endswith(".npz"):
+        params = _load_npz_params(weights)
+        weights = None
+    if getattr(args, "cfg", None):
+        from yolo_tensorflow_tpu.config import config_from_cfg
+        cfg, specs = config_from_cfg(
+            args.cfg, class_names_file=getattr(args, "names", None))
+        clf = Classifier(cfg, weights, params=params, specs=specs,
+                         compute_dtype=cd)
+    else:
+        clf = Classifier(args.model, weights, params=params,
+                         compute_dtype=cd)
+    if not args.list:
+        raise SystemExit("classifier eval needs --list (image paths "
+                         "containing their class name)")
+    samples = read_validation_list(args.list, clf.cfg.classes)
+    if args.limit:
+        samples = samples[:args.limit]
+    t0 = time.time()
+    res = validate_classifier(
+        clf, samples, top_k=args.top, batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        progress=lambda d, n: print(f"\r{d}/{n}", end="", flush=True,
+                                    file=sys.stderr))
+    dt = time.time() - t0
+    print(f"\r{res['images']} images in {dt:.1f}s", file=sys.stderr)
+    # the C's running line, final form (classifier.c:358)
+    print(f"top 1: {res['top1']:f}, top {args.top}: "
+          f"{res['top%d' % args.top]:f}")
+    print(json.dumps(res, default=float))
+
+
+def _is_classifier_target(args):
+    if getattr(args, "cfg", None):
+        from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
+        _, _, head_opts = parse_cfg_file(args.cfg)
+        # no [yolo]/[region]/[detection] section -> headless/classifier
+        return not head_opts
+    if getattr(args, "model", None):
+        from yolo_tensorflow_tpu.config import get_config
+        try:
+            return get_config(args.model).head == 0
+        except KeyError:
+            return False
+    return False
+
+
 def cmd_eval(args):
     from yolo_tensorflow_tpu.data.datasets import load_voc, load_coco, load_darknet_list
     from yolo_tensorflow_tpu.eval.batched import evaluate_samples
     from yolo_tensorflow_tpu.eval.map import evaluate_detections, coco_map
+    if _is_classifier_target(args):
+        return _eval_classifier(args)
     det = _build_detector(args)
     if args.voc_root:
         samples = load_voc(args.voc_root, args.image_set, args.voc_year)
@@ -641,6 +700,11 @@ def main(argv=None):
                         "buggy plane negation (avg_flipped_yolo; measured "
                         "-0.044 mAP on the hard synthetic task), "
                         "'corrected' mirrors properly (+0.044)")
+    p.add_argument("--top", type=int, default=5,
+                   help="classifier eval: report top-1 and top-N accuracy "
+                        "(validate_classifier_single, "
+                        "examples/classifier.c:303; 'top' in the .data "
+                        "file). Detection models ignore this.")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model (detector or classifier)")

@@ -132,7 +132,26 @@ def config_from_cfg(cfg_path: str, *, class_names_file: str = None,
     from yolo_tensorflow_tpu.io.cfg import parse_cfg_file
     specs, net, heads = parse_cfg_file(cfg_path)
     if not heads:
-        raise ValueError("cfg has no [yolo]/[region]/[detection] head")
+        # headless cfg -> classifier (darknet's classifier path: any net
+        # ending in [softmax]/[cost] with no detection head,
+        # examples/classifier.c). The engine reports the last layer's
+        # output through a Detect marker, like the registry classifier.
+        from yolo_tensorflow_tpu.models import specs as S
+        if not isinstance(specs[-1], S.Detect):
+            specs = tuple(specs) + (S.Detect(()),)
+        input_size = int(net.get("height", 256))
+        if class_names_file:
+            with open(class_names_file) as f:
+                names = tuple(l.strip() for l in f if l.strip())
+        else:
+            ncls = next((sp.filters if not isinstance(sp, S.Dense)
+                         else sp.units for sp in reversed(specs)
+                         if isinstance(sp, (S.Conv, S.Local, S.Deconv,
+                                            S.Dense))), 2)
+            names = tuple(f"class_{i:03d}" for i in range(ncls))
+        cfg = ModelConfig(name=name, dataset="custom", head=0,
+                          input_size=input_size, custom_classes=names)
+        return cfg, specs
     h0 = heads[0]
     kind = h0["_type"]
     input_size = int(net.get("height", 416))

@@ -493,12 +493,13 @@ class Classifier:
     """Image classification pipeline (head=0 models) — the
     examples/classifier.c predict path: uint8 image -> softmax probs."""
 
-    def __init__(self, model: str, weights_path: Optional[str] = None, *,
-                 params=None, compute_dtype=None, **overrides):
-        self.cfg = C.get_config(model, **overrides)
+    def __init__(self, model, weights_path: Optional[str] = None, *,
+                 params=None, compute_dtype=None, specs=None, **overrides):
+        self.cfg = (model if isinstance(model, C.ModelConfig)
+                    else C.get_config(model, **overrides))
         if self.cfg.head != 0:
             raise ValueError(f"{model} is not a classifier config")
-        self.specs = C.build_specs(self.cfg)
+        self.specs = C.build_specs(self.cfg) if specs is None else specs
         if params is None:
             if weights_path is None:
                 raise ValueError("need weights_path or params")
@@ -518,6 +519,60 @@ class Classifier:
             return probs
 
         self._jit_forward = jax.jit(forward)
+        self._compute_dtype = compute_dtype
+        self._crop_jits = {}
+
+    def _crop_jit(self, canvas_side: int):
+        """jit for the center-crop eval path, cached per canvas bucket."""
+        if canvas_side not in self._crop_jits:
+            from yolo_tensorflow_tpu.ops import preprocess as P
+            cfg, specs, cd = self.cfg, self.specs, self._compute_dtype
+            # fold the model normalization into the resize matrices, same
+            # contract as the fused detector path
+            if cfg.normalization == "symmetric":
+                rescale, offset = 2.0, -1.0
+            else:
+                rescale, offset = 255.0 / cfg.input_scale, 0.0
+
+            def fwd(p, canvas_u8, sizes):
+                x = P.letterbox_device_batch(canvas_u8, sizes,
+                                             cfg.input_size,
+                                             rescale=rescale, offset=offset)
+                if cd is not None:
+                    x = x.astype(cd)
+                dets, _ = engine.apply(specs, p, x, bn_eps=cfg.bn_eps,
+                                       compute_dtype=cd)
+                (probs, _), = dets
+                return probs
+
+            self._crop_jits[canvas_side] = jax.jit(fwd)
+        return self._crop_jits[canvas_side]
+
+    def classify_batch_center_crop(self, images):
+        """validate_classifier_single's preprocessing
+        (examples/classifier.c:303-360 -> center_crop_image,
+        src/image.c): square min-side center crop, then darknet's
+        bilinear resize to the net size. The crop is a host numpy slice
+        (exact); the resize runs ON DEVICE through the letterbox matmul
+        machinery — a square image letterboxed to S x S degenerates to
+        exactly resize_image(c, S, S), no padding — so the bilinear is
+        bit-gated against the C transcription and rides the MXU. Canvas
+        sides bucket at 256 px: one compilation serves every image whose
+        crop fits the bucket. Returns (B, classes) probs on device."""
+        ms = [min(im.shape[0], im.shape[1]) for im in images]
+        side = max(256, -(-max(ms) // 256) * 256)
+        canvas = np.zeros((len(images), side, side, 3), np.uint8)
+        sizes = np.zeros((len(images), 2), np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            m = ms[i]
+            # crop_image offsets (im.w - m)/2, (im.h - m)/2 — C int
+            # division, non-negative here so // matches
+            y0, x0 = (h - m) // 2, (w - m) // 2
+            canvas[i, :m, :m] = im[y0:y0 + m, x0:x0 + m]
+            sizes[i] = (m, m)
+        return self._crop_jit(side)(self.params, jnp.asarray(canvas),
+                                    jnp.asarray(sizes))
 
     def classify(self, image: np.ndarray, top_k: int = 5):
         import cv2
