@@ -512,3 +512,55 @@ def test_train_cfg_adam_end_to_end(tmp_path, capsys):
           "--num-data", "2"])
     out = capsys.readouterr().out
     assert "adam B1=0.9 B2=0.999" in out and "step 2" in out
+
+
+# --------------------------------------------------------------------------
+# [net]/head augmentation hypers -> loader (get_base_args plumbing)
+# --------------------------------------------------------------------------
+
+def test_aug_from_cfg_defaults_and_values():
+    from yolo_tensorflow_tpu.train.runner import aug_from_cfg
+    # darknet defaults (parse_net_options:675-679; parse_yolo/region max)
+    d = aug_from_cfg({}, {}, head=3)
+    assert d == {"jitter": 0.2, "hue": 0.0, "sat": 1.0, "exposure": 1.0,
+                 "max_boxes": 90}
+    assert aug_from_cfg({}, {}, head=2)["max_boxes"] == 30
+    d = aug_from_cfg({"saturation": "1.5", "exposure": "1.5",
+                      "hue": ".1"}, {"jitter": ".3", "max": "60"}, head=3)
+    assert d == {"jitter": 0.3, "hue": 0.1, "sat": 1.5, "exposure": 1.5,
+                 "max_boxes": 60}
+
+
+def test_cfg_aug_reaches_loader(tmp_path, monkeypatch):
+    """train --cfg must construct the loader with the cfg's jitter/HSV/max
+    boxes, not the registry defaults."""
+    from yolo_tensorflow_tpu.train.runner import run_training
+    import yolo_tensorflow_tpu.data.loader as DL
+    captured = {}
+
+    class _Probe(Exception):
+        pass
+
+    def fake_loader(*a, **kw):
+        captured.update(kw)
+        raise _Probe
+
+    monkeypatch.setattr(DL, "DetectionLoader", fake_loader)
+    cfg_path = tmp_path / "aug.cfg"
+    cfg_path.write_text(TINY_REGION_CFG.replace(
+        "momentum=0.9", "momentum=0.9\nsaturation=1.7\nexposure=1.3\nhue=.05"
+    ).replace("jitter=.3", "jitter=.25\nmax=12"))
+    names = tmp_path / "names.txt"
+    names.write_text("thing\nother\n")
+    lst = _make_dataset(tmp_path, n=4)
+    args = argparse.Namespace(
+        model=None, cfg=str(cfg_path), list=lst, val_list=None,
+        names=str(names), weights=None, ckpt_dir=str(tmp_path / "ck"),
+        batch_size=None, steps=1, lr=None, burn_in=None,
+        multiscale=False, num_data=1, num_spatial=1, save_every=100,
+        log_every=1, input_size=None, eval_every=0)
+    with pytest.raises(_Probe):
+        run_training(args)
+    assert captured["jitter"] == 0.25 and captured["max_boxes"] == 12
+    assert captured["sat"] == 1.7 and captured["exposure"] == 1.3
+    assert captured["hue"] == 0.05

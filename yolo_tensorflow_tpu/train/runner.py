@@ -81,6 +81,24 @@ def evaluate_classifier(cfg, state, samples, *, limit=0):
     return correct / max(len(samples), 1)
 
 
+def aug_from_cfg(net: dict, h0: dict, head: int) -> dict:
+    """DetectionLoader kwargs from a parsed cfg — the load_args plumbing
+    (get_base_args src/network.c:45-58 reads [net] saturation/exposure/
+    hue; train_detector reads jitter and max boxes from the head layer,
+    examples/detector.c:45-52). Defaults mirror the C's
+    (parse_net_options:675-679; [yolo]/[detection] max=90, [region]
+    max=30, jitter .2). The classifier-only knobs (angle/aspect/
+    min_crop/max_crop/center — load_data_augment) have no detection
+    equivalent and are not consumed here."""
+    return dict(
+        jitter=float(h0.get("jitter", 0.2)),
+        hue=float(net.get("hue", 0.0)),
+        sat=float(net.get("saturation", 1.0)),
+        exposure=float(net.get("exposure", 1.0)),
+        max_boxes=int(h0.get("max", 30 if head == 2 else 90)),
+    )
+
+
 def run_training(args):
     import dataclasses
     import os
@@ -108,6 +126,7 @@ def run_training(args):
     specs = None          # None -> registry builder
     net_opts = None       # NetTrainOptions from the cfg's [net] section
     loss_kw = {}
+    aug_kw = {}           # loader aug hypers from the cfg (aug_from_cfg)
     cfg_multiscale = False
     if getattr(args, "cfg", None):
         # arbitrary-cfg training: the C trains ANY .cfg with every
@@ -121,6 +140,8 @@ def run_training(args):
         _, net, head_opt_list = parse_cfg_file(args.cfg)
         net_opts = T.NetTrainOptions.from_net(net)
         h0 = head_opt_list[0] if head_opt_list else {}
+        if cfg.head != 0:
+            aug_kw = aug_from_cfg(net, h0, cfg.head)
         if cfg.head == 3:
             loss_kw["ignore_thresh"] = float(h0.get("ignore_thresh", 0.5))
             loss_kw["truth_thresh"] = float(h0.get("truth_thresh", 1.0))
@@ -264,7 +285,7 @@ def run_training(args):
                          "(darknet's v1-era trainer, examples/yolo.c, has "
                          "no multi-scale either)")
     loader = DetectionLoader(samples, local_batch, cfg.input_size,
-                             train=True)
+                             train=True, **aug_kw)
     # one compiled step per input size (multi-scale), darknet resizes the
     # net every 10 batches; XLA compile cache plays that role here
     steps = {}
