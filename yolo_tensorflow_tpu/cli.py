@@ -553,6 +553,87 @@ def cmd_partial(args):
           f"({n_weighted} weighted) of {args.weights}, seen reset to 0")
 
 
+def _load_unfolded(args):
+    """(cfg, specs, params, stats) for the weight-file utilities —
+    registry --model or arbitrary --cfg (incl. headless/classifier)."""
+    from yolo_tensorflow_tpu.io import weights as W
+    if getattr(args, "cfg", None):
+        from yolo_tensorflow_tpu.config import config_from_cfg
+        cfg, specs = config_from_cfg(
+            args.cfg, class_names_file=getattr(args, "names", None))
+    elif getattr(args, "model", None):
+        from yolo_tensorflow_tpu.config import build_specs, get_config
+        cfg = get_config(args.model)
+        specs = build_specs(cfg)
+    else:
+        raise SystemExit("need --model or --cfg")
+    params, stats, _ = W.load_darknet_weights(
+        specs, cfg.input_size, args.weights, fold=False, bn_eps=cfg.bn_eps)
+    return cfg, specs, params, stats
+
+
+def cmd_average(args):
+    """Checkpoint averaging — the darknet ``average`` command
+    (examples/darknet.c:425): elementwise mean of N weight files with
+    the C's type rules (io/netops.average_params)."""
+    from yolo_tensorflow_tpu.io import netops, weights as W
+    first = argparse.Namespace(model=args.model, cfg=args.cfg,
+                               names=getattr(args, "names", None),
+                               weights=args.weights_files[0])
+    cfg, specs, p0, s0 = _load_unfolded(first)
+    runs = [(p0, s0)]
+    for path in args.weights_files[1:]:
+        p, s, _ = W.load_darknet_weights(specs, cfg.input_size, path,
+                                         fold=False, bn_eps=cfg.bn_eps)
+        runs.append((p, s))
+    params, stats = netops.average_params(specs, runs)
+    W.save_darknet_weights(specs, cfg.input_size, params, stats, args.out,
+                           head=cfg.head)
+    print(f"wrote {args.out}: mean of {len(runs)} checkpoints")
+
+
+def cmd_denormalize(args):
+    """Fold BN into the weights — the darknet ``denormalize`` command
+    (examples/darknet.c:473). Unlike the C (which leaves the .cfg
+    stale), this also emits <out>.cfg with batch_normalize dropped so
+    the pair round-trips."""
+    from yolo_tensorflow_tpu.io import netops, weights as W
+    from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
+    cfg, specs, params, stats = _load_unfolded(args)
+    new_specs, new_params = netops.denormalize(specs, params, stats)
+    W.save_darknet_weights(new_specs, cfg.input_size, new_params, {},
+                           args.out, head=cfg.head)
+    cfg_out = os.path.splitext(args.out)[0] + ".cfg"
+    with open(cfg_out, "w") as f:
+        f.write(specs_to_cfg(cfg, new_specs))
+    print(f"wrote {args.out} + {cfg_out}: batch norm folded "
+          f"(denormalize_net eps quirks preserved)")
+
+
+def cmd_rgbgr(args):
+    """Swap the first conv's channel order — ``rgbgr``
+    (examples/darknet.c:469)."""
+    from yolo_tensorflow_tpu.io import netops, weights as W
+    cfg, specs, params, stats = _load_unfolded(args)
+    W.save_darknet_weights(specs, cfg.input_size,
+                           netops.rgbgr(specs, params), stats, args.out,
+                           head=cfg.head)
+    print(f"wrote {args.out}: first conv input channels reversed")
+
+
+def cmd_rescale(args):
+    """Re-range the first conv for an affine input change — ``rescale``
+    (examples/darknet.c:479)."""
+    from yolo_tensorflow_tpu.io import netops, weights as W
+    cfg, specs, params, stats = _load_unfolded(args)
+    out_p = netops.rescale(specs, params, scale=args.scale,
+                           trans=args.trans)
+    W.save_darknet_weights(specs, cfg.input_size, out_p, stats, args.out,
+                           head=cfg.head)
+    print(f"wrote {args.out}: first conv rescaled "
+          f"(scale {args.scale}, trans {args.trans})")
+
+
 def cmd_voc_label(args):
     """VOC XML -> darknet labels/*.txt + image lists (scripts/voc_label.py)."""
     from yolo_tensorflow_tpu.data.datasets import write_darknet_labels
@@ -773,6 +854,42 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0,
                    help="run val-list mAP every N steps (needs --val-list)")
     p.set_defaults(fn=cmd_train)
+
+    def _weight_util(name, help_, **extra):
+        q = sub.add_parser(name, help=help_)
+        q.add_argument("--model", choices=MODEL_NAMES)
+        q.add_argument("--cfg",
+                       help="arbitrary darknet .cfg instead of --model")
+        q.add_argument("--names", help="class-names file (with --cfg)")
+        if not extra.get("multi_weights"):
+            q.add_argument("--weights", required=True)
+        q.add_argument("--out", required=True)
+        return q
+
+    p = _weight_util("average",
+                     "elementwise mean of N checkpoints (darknet "
+                     "'average', examples/darknet.c:425)",
+                     multi_weights=True)
+    p.add_argument("weights_files", nargs="+",
+                   help=".weights files to average")
+    p.set_defaults(fn=cmd_average)
+
+    p = _weight_util("denormalize",
+                     "fold batch norm into the weights; emits matching "
+                     ".cfg too (darknet 'denormalize')")
+    p.set_defaults(fn=cmd_denormalize)
+
+    p = _weight_util("rgbgr",
+                     "swap the first conv's input channel order "
+                     "(darknet 'rgbgr')")
+    p.set_defaults(fn=cmd_rgbgr)
+
+    p = _weight_util("rescale",
+                     "re-range the first conv for an affine input "
+                     "change (darknet 'rescale')")
+    p.add_argument("--scale", type=float, default=2.0)
+    p.add_argument("--trans", type=float, default=-0.5)
+    p.set_defaults(fn=cmd_rescale)
 
     p = sub.add_parser("partial",
                        help="truncate a .weights file at a layer cutoff "

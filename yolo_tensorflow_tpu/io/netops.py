@@ -1,0 +1,147 @@
+"""Weight-file utilities from the darknet CLI dispatcher.
+
+The `darknet` binary ships a family of small commands that transform a
+weights file in place (examples/darknet.c:425-499): `average` (checkpoint
+averaging), `denormalize` (fold batch norm into the conv weights),
+`rgbgr` (swap the first conv's channel order), `rescale` (re-range the
+first conv for a different input scaling). Each operates on the UNFOLDED
+parameter pytrees (io/weights.py fold=False) so the result round-trips
+through save_darknet_weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from yolo_tensorflow_tpu.models import specs as S
+from yolo_tensorflow_tpu.models.engine import layer_key
+
+
+def _avg(arrs):
+    out = np.asarray(arrs[0], np.float32).copy()
+    for a in arrs[1:]:
+        out += np.asarray(a, np.float32)
+    return out / len(arrs)
+
+
+def average_params(specs, runs: Sequence[Tuple[dict, dict]]):
+    """`darknet average` (examples/darknet.c:425): elementwise mean over
+    N checkpoints — with the C's exact type rules. CONVOLUTIONAL layers
+    average weights, biases/beta and (when BN) scales + rolling
+    mean/variance; CONNECTED layers average ONLY weights and
+    biases/beta — a BN'd connected layer's scales and rolling stats keep
+    the FIRST file's values (the C loop never touches them). Every other
+    layer type (local/deconv/recurrent/...) passes the first file's
+    tensors through untouched, exactly like the C's sum network that
+    never accumulates them.
+
+    runs: [(params, batch_stats), ...] unfolded. Returns (params, stats).
+    """
+    if not runs:
+        raise ValueError("average needs at least one checkpoint")
+    p0, s0 = runs[0]
+    out_p = {k: dict(v) for k, v in p0.items()}
+    out_s = {k: dict(v) for k, v in s0.items()}
+    for i, spec in enumerate(specs):
+        key = layer_key(i)
+        if key not in p0:
+            continue
+        if isinstance(spec, S.Conv):
+            keys = ["w"] + (["gamma", "beta"] if spec.bn else ["b"])
+            for name in keys:
+                out_p[key][name] = _avg([p[key][name] for p, _ in runs])
+            if spec.bn:
+                for name in ("mean", "var"):
+                    out_s[key][name] = _avg([s[key][name]
+                                             for _, s in runs])
+        elif isinstance(spec, S.Dense):
+            # the C averages l.weights and l.biases only — for a BN'd
+            # connected layer biases ARE beta, but scales/rolling stats
+            # stay file-1 (quirk kept)
+            for name in ("w", "beta" if spec.bn else "b"):
+                out_p[key][name] = _avg([p[key][name] for p, _ in runs])
+    return out_p, out_s
+
+
+def denormalize(specs, params, batch_stats):
+    """`darknet denormalize` (examples/darknet.c:473 denormalize_net):
+    fold BN into the preceding conv/connected weights and drop the BN
+    slots, with the C's own eps constants — sqrt(var + 1e-5) for
+    convolutional (denormalize_convolutional_layer), sqrt(var + 1e-6)
+    for connected (denormalize_connected_layer). These differ from the
+    runtime's normalize_cpu (1/(sqrt(var)+1e-6)), so the C's
+    denormalized net is NOT bit-equal to its BN form — the same tiny
+    drift applies here by design.
+
+    Deconvolutional BN folds on the output-filter axis; note the C's
+    denormalize_convolutional_layer indexes deconv weights with the conv
+    (n,c,k,k) stride pattern even though deconv stores (c,n,k,k) — a
+    reference bug we do not reproduce.
+
+    Returns (new_specs, new_params): specs with bn=False and {w, b}
+    params, ready for save_darknet_weights / specs_to_cfg (the C leaves
+    the .cfg stale after denormalize; emit the matching cfg instead).
+    """
+    new_specs = list(specs)
+    out = {}
+    for i, spec in enumerate(specs):
+        key = layer_key(i)
+        if key not in params:
+            continue
+        p = params[key]
+        if isinstance(spec, (S.Conv, S.Deconv, S.Dense)) and \
+                getattr(spec, "bn", False):
+            eps = 1e-6 if isinstance(spec, S.Dense) else 1e-5
+            st = batch_stats[key]
+            scale = (np.asarray(p["gamma"], np.float32)
+                     / np.sqrt(np.asarray(st["var"], np.float32) + eps))
+            w = np.asarray(p["w"], np.float32) * scale   # O on last axis
+            b = (np.asarray(p["beta"], np.float32)
+                 - np.asarray(st["mean"], np.float32) * scale)
+            out[key] = {"w": w, "b": b}
+            new_specs[i] = dataclasses.replace(spec, bn=False)
+        else:
+            out[key] = dict(p)
+    return tuple(new_specs), out
+
+
+def _first_conv_key(specs):
+    for i, spec in enumerate(specs):
+        if isinstance(spec, S.Conv):
+            return layer_key(i), spec
+    raise ValueError("model has no convolutional layer")
+
+
+def rgbgr(specs, params):
+    """`darknet rgbgr` (rgbgr_weights, src/convolutional_layer.c): swap
+    the FIRST conv's input-channel order (RGB <-> BGR) when it has 3
+    input channels — for serving weights trained with the opposite
+    channel convention. HWIO: reverse axis 2."""
+    key, _ = _first_conv_key(specs)
+    out = {k: dict(v) for k, v in params.items()}
+    w = np.asarray(out[key]["w"])
+    if w.shape[2] == 3:
+        out[key]["w"] = np.ascontiguousarray(w[:, :, ::-1, :])
+    return out
+
+
+def rescale(specs, params, scale: float = 2.0, trans: float = -0.5):
+    """`darknet rescale` (rescale_net -> rescale_weights): re-range the
+    FIRST 3-channel conv for an affine input change x -> scale*x + trans
+    (the shipped values 2,-0.5 convert a [0,1]-input net to [-.5, 1.5]
+    style ranges): w *= scale, then bias += trans * sum(scaled filter),
+    per output filter — the sum taken AFTER scaling, like the C."""
+    key, spec = _first_conv_key(specs)
+    out = {k: dict(v) for k, v in params.items()}
+    w = np.asarray(out[key]["w"], np.float32)
+    if w.shape[2] != 3:
+        return out
+    w2 = w * scale
+    out[key]["w"] = w2
+    bkey = "beta" if spec.bn else "b"
+    out[key][bkey] = (np.asarray(out[key][bkey], np.float32)
+                      + trans * w2.sum(axis=(0, 1, 2)))
+    return out
