@@ -180,3 +180,52 @@ def test_average_and_denormalize_through_cli(tmp_path, capsys):
     (probs_dn, _), = engine.apply(specs2, p2, x)[0]
     np.testing.assert_allclose(np.asarray(probs_bn), np.asarray(probs_dn),
                                atol=2e-3)
+
+
+def test_reset_normalize_identity_slots():
+    """`reset` = denormalize math, BN slots kept at identity; the forward
+    differs from plain denormalize only by normalize_cpu's one-ppm
+    sqrt(1)+1e-6 divisor (both nets serve, same cfg loads the reset
+    file)."""
+    specs = _mixed_specs()
+    (params, stats), = _runs(specs, n=1)
+    rp, rs = netops.reset_normalize(specs, params, stats)
+    dn_specs, dp = netops.denormalize(specs, params, stats)
+    k0 = engine.layer_key(0)
+    np.testing.assert_allclose(rp[k0]["w"], dp[k0]["w"], rtol=1e-6)
+    np.testing.assert_allclose(rp[k0]["beta"], dp[k0]["b"], rtol=1e-6)
+    np.testing.assert_array_equal(rp[k0]["gamma"],
+                                  np.ones_like(rp[k0]["gamma"]))
+    np.testing.assert_array_equal(rs[k0]["var"], np.ones_like(rs[k0]["var"]))
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        0, 1, (1, 8, 8, 3)).astype(np.float32))
+    (a, _), = engine.apply(specs, rp, x, batch_stats=rs)[0]
+    (b, _), = engine.apply(dn_specs, dp, x)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_normalize_adds_zero_var_slots(tmp_path):
+    """`normalize` converts bias-only layers to BN form with rolling var
+    ZERO (the C callocs it — quirk kept) and the pair round-trips
+    through .weights + emitted cfg."""
+    specs = _mixed_specs()
+    (params, stats), = _runs(specs, n=1)
+    new_specs, np_, ns = netops.normalize(specs, params, stats)
+    k1 = engine.layer_key(1)          # the bias-only conv
+    assert new_specs[1].bn
+    np.testing.assert_array_equal(np_[k1]["gamma"],
+                                  np.ones_like(np_[k1]["gamma"]))
+    np.testing.assert_array_equal(np_[k1]["beta"], params[k1]["b"])
+    np.testing.assert_array_equal(ns[k1]["var"],
+                                  np.zeros_like(ns[k1]["var"]))
+    # already-BN layer untouched, stats pass through
+    k0 = engine.layer_key(0)
+    np.testing.assert_array_equal(np_[k0]["gamma"], params[k0]["gamma"])
+    np.testing.assert_array_equal(ns[k0]["var"], stats[k0]["var"])
+    # round-trip
+    f = tmp_path / "n.weights"
+    W.save_darknet_weights(new_specs, 8, np_, ns, str(f), head=0)
+    p2, s2, _ = W.load_darknet_weights(new_specs, 8, str(f), fold=False)
+    np.testing.assert_array_equal(p2[k1]["gamma"], np_[k1]["gamma"])
+    np.testing.assert_array_equal(s2[k1]["var"], ns[k1]["var"])

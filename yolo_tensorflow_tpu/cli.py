@@ -610,6 +610,38 @@ def cmd_denormalize(args):
           f"(denormalize_net eps quirks preserved)")
 
 
+def cmd_reset(args):
+    """Fold BN into the weights but keep identity BN slots — the darknet
+    ``reset`` command (reset_normalize_net, examples/darknet.c:471)."""
+    from yolo_tensorflow_tpu.io import netops, weights as W
+    cfg, specs, params, stats = _load_unfolded(args)
+    new_p, new_s = netops.reset_normalize(specs, params, stats)
+    W.save_darknet_weights(specs, cfg.input_size, new_p, new_s, args.out,
+                           head=cfg.head)
+    print(f"wrote {args.out}: BN folded into weights, slots reset to "
+          f"identity (same cfg still loads it)")
+
+
+def cmd_normalize(args):
+    """Add identity-BN slots to bias-only layers — the darknet
+    ``normalize`` command (normalize_net). Emits the matching
+    batch_normalize=1 .cfg (the C leaves it stale); note the C inits
+    rolling variance to ZERO, so the result is meant for stat
+    re-estimation by training, not direct serving (quirk kept)."""
+    from yolo_tensorflow_tpu.io import netops, weights as W
+    from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
+    cfg, specs, params, stats = _load_unfolded(args)
+    new_specs, new_p, new_s = netops.normalize(specs, params, stats)
+    W.save_darknet_weights(new_specs, cfg.input_size, new_p, new_s,
+                           args.out, head=cfg.head)
+    cfg_out = os.path.splitext(args.out)[0] + ".cfg"
+    with open(cfg_out, "w") as f:
+        f.write(specs_to_cfg(cfg, new_specs))
+    print(f"wrote {args.out} + {cfg_out}: BN slots added to bias-only "
+          f"layers (rolling var ZERO, the C's init — retrain stats "
+          f"before serving)")
+
+
 def cmd_rgbgr(args):
     """Swap the first conv's channel order — ``rgbgr``
     (examples/darknet.c:469)."""
@@ -878,6 +910,17 @@ def main(argv=None):
                      "fold batch norm into the weights; emits matching "
                      ".cfg too (darknet 'denormalize')")
     p.set_defaults(fn=cmd_denormalize)
+
+    p = _weight_util("reset",
+                     "fold BN into weights, keep identity BN slots "
+                     "(darknet 'reset')")
+    p.set_defaults(fn=cmd_reset)
+
+    p = _weight_util("normalize",
+                     "add identity-BN slots to bias-only layers "
+                     "(darknet 'normalize'; rolling var starts 0, "
+                     "retrain stats before serving)")
+    p.set_defaults(fn=cmd_normalize)
 
     p = _weight_util("rgbgr",
                      "swap the first conv's input channel order "

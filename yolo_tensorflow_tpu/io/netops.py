@@ -108,6 +108,77 @@ def denormalize(specs, params, batch_stats):
     return tuple(new_specs), out
 
 
+def reset_normalize(specs, params, batch_stats):
+    """`darknet reset` (reset_normalize_net, examples/darknet.c:471):
+    denormalize_*_layer math — weights absorb gamma/sqrt(var+eps), beta
+    absorbs the mean — but the layers KEEP their BN slots, reset to the
+    identity (gamma 1, mean 0, var 1). The result is not bit-identical
+    to plain denormalize at inference: darknet's normalize_cpu divides
+    by sqrt(1)+1e-6, a one-ppm shrink per layer — the C has the same
+    drift. specs are unchanged. GRU sub-layers (which the C also
+    resets) are not handled; recurrent BN cfgs raise at save time if
+    encountered here."""
+    out_p = {}
+    out_s = {}
+    for i, spec in enumerate(specs):
+        key = layer_key(i)
+        if key not in params:
+            continue
+        p = params[key]
+        if isinstance(spec, (S.Conv, S.Deconv, S.Dense)) and \
+                getattr(spec, "bn", False):
+            eps = 1e-6 if isinstance(spec, S.Dense) else 1e-5
+            st = batch_stats[key]
+            scale = (np.asarray(p["gamma"], np.float32)
+                     / np.sqrt(np.asarray(st["var"], np.float32) + eps))
+            n = scale.shape[0]
+            out_p[key] = {
+                "w": np.asarray(p["w"], np.float32) * scale,
+                "gamma": np.ones(n, np.float32),
+                "beta": (np.asarray(p["beta"], np.float32)
+                         - np.asarray(st["mean"], np.float32) * scale),
+            }
+            out_s[key] = {"mean": np.zeros(n, np.float32),
+                          "var": np.ones(n, np.float32)}
+        else:
+            out_p[key] = dict(p)
+            if key in batch_stats:
+                out_s[key] = dict(batch_stats[key])
+    return out_p, out_s
+
+
+def normalize(specs, params, batch_stats=None):
+    """`darknet normalize` (normalize_net -> normalize_layer,
+    examples/darknet.c): give every bias-only conv/connected layer BN
+    slots — gamma 1, biases becoming beta, rolling mean 0 and rolling
+    variance **0** (the C callocs it; at inference normalize_cpu then
+    divides by sqrt(0)+1e-6, a ~1e6 amplification — the command exists
+    to re-estimate stats by further training, and the quirk is kept).
+    Returns (new_specs with bn=True, params, batch_stats); layers that
+    already had BN pass through with their existing stats."""
+    batch_stats = batch_stats or {}
+    new_specs = list(specs)
+    out_p = {}
+    out_s = {k: dict(v) for k, v in batch_stats.items()}
+    for i, spec in enumerate(specs):
+        key = layer_key(i)
+        if key not in params:
+            continue
+        p = params[key]
+        if isinstance(spec, (S.Conv, S.Dense)) and \
+                not getattr(spec, "bn", True):
+            n = np.asarray(p["b"]).shape[0]
+            out_p[key] = {"w": np.asarray(p["w"], np.float32),
+                          "gamma": np.ones(n, np.float32),
+                          "beta": np.asarray(p["b"], np.float32)}
+            out_s[key] = {"mean": np.zeros(n, np.float32),
+                          "var": np.zeros(n, np.float32)}
+            new_specs[i] = dataclasses.replace(spec, bn=True)
+        else:
+            out_p[key] = dict(p)
+    return tuple(new_specs), out_p, out_s
+
+
 def _first_conv_key(specs):
     for i, spec in enumerate(specs):
         if isinstance(spec, S.Conv):
