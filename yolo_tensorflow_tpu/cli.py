@@ -170,8 +170,13 @@ def _eval_classifier(args):
         clf = Classifier(cfg, weights, params=params, specs=specs,
                          compute_dtype=cd)
     else:
+        over = {}
+        if getattr(args, "names", None):
+            with open(args.names) as f:
+                over["custom_classes"] = tuple(
+                    l.strip() for l in f if l.strip())
         clf = Classifier(args.model, weights, params=params,
-                         compute_dtype=cd)
+                         compute_dtype=cd, **over)
     if not args.list:
         raise SystemExit("classifier eval needs --list (image paths "
                          "containing their class name)")
