@@ -142,6 +142,61 @@ def test_v3_loss_value_is_delta_sq(rng):
     assert metrics["count"] >= 1
 
 
+@pytest.mark.parametrize("mask", [(6, 7, 8), (0, 1, 2)])
+def test_v3_vectorized_assign_equals_scan(mask, rng):
+    """truth_assign='vectorized' (one-shot scatter with an explicit
+    last-writer-wins mask) must reproduce the sequential scan's delta to
+    1 ulp (XLA fuses the two forms differently, so a handful of elements
+    round once more), including when two truths collide on the same
+    (cell, anchor-slot) — the C overwrites, so the later truth wins."""
+    cfg = C.get_config("yolov3", input_size=96)
+    G = 96 // 32 if mask == (6, 7, 8) else 96 // 8
+    Cn = 4
+    raw = rng.standard_normal((G, G, 3 * (5 + Cn)), dtype=np.float32)
+    truths = _sample_truths(rng, 8, 5, Cn)
+    if mask == (6, 7, 8):   # big boxes so the large-anchor scale owns them
+        truths[:5, 2:4] = 0.5 + truths[:5, 2:4]
+    # force a same-slot collision: same center cell, identical wh (same best
+    # anchor), different class — truth 4 must overwrite truth 1
+    truths[4] = truths[1]
+    truths[4, 4] = (truths[1, 4] + 1) % Cn
+    anchors = np.asarray(cfg.anchors, np.float32)
+
+    args = (jnp.asarray(raw), jnp.asarray(truths), jnp.asarray(anchors),
+            mask, 96, 0.5, 1.0, Cn)
+    d_scan, m_scan = losses._v3_scale_delta(*args, truth_assign="scan")
+    d_vec, m_vec = losses._v3_scale_delta(*args, truth_assign="vectorized")
+    np.testing.assert_allclose(np.asarray(d_scan), np.asarray(d_vec),
+                               rtol=3e-7, atol=5e-7)
+    for k in m_scan:
+        np.testing.assert_allclose(float(m_scan[k]), float(m_vec[k]),
+                                   rtol=1e-6, atol=1e-7)
+    # the collision actually exercised the overwrite path
+    assert float(m_scan["count"]) >= 2.0
+
+
+def test_v3_loss_truth_assign_grad_identical(rng):
+    """yolo_v3_loss gradients match across truth_assign modes to 1 ulp
+    (grad == -delta/batch and the deltas agree to fusion-level rounding)."""
+    cfg = C.get_config("yolov3", input_size=64)
+    Cn = cfg.num_classes
+    G = 2
+    raw = rng.standard_normal((2, G, G, 3 * (5 + Cn)), dtype=np.float32)
+    truths = np.stack([_sample_truths(rng, 4, 2, Cn),
+                       _sample_truths(rng, 4, 3, Cn)])
+
+    def f(r, mode):
+        loss, _ = losses.yolo_v3_loss([r], jnp.asarray(truths), cfg,
+                                      anchor_masks=[(6, 7, 8)],
+                                      truth_assign=mode)
+        return loss
+
+    g_scan = np.asarray(jax.grad(lambda r: f(r, "scan"))(jnp.asarray(raw)))
+    g_vec = np.asarray(
+        jax.grad(lambda r: f(r, "vectorized"))(jnp.asarray(raw)))
+    np.testing.assert_allclose(g_scan, g_vec, rtol=3e-7, atol=5e-7)
+
+
 # --------------------------------------------------------------------------
 # v2 darknet region loss vs a transcription of forward_region_layer
 # --------------------------------------------------------------------------

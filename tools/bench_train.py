@@ -21,7 +21,7 @@ import numpy as np
 
 def measure_train(model="yolov3", size=416, batch=32, steps=4,
                   compute_dtype="bfloat16", remat_every=None,
-                  bn_stats="twopass"):
+                  bn_stats="twopass", truth_assign="scan"):
     import jax
     import jax.numpy as jnp
     from yolo_tensorflow_tpu import config as C
@@ -36,7 +36,8 @@ def measure_train(model="yolov3", size=416, batch=32, steps=4,
     # mixed-precision training mode (tests/test_train_bf16.py)
     cd = None if compute_dtype is None else getattr(jnp, compute_dtype)
     multi = L.make_multi_step(cfg, tx, steps, compute_dtype=cd,
-                              remat_every=remat_every, bn_stats=bn_stats)
+                              remat_every=remat_every, bn_stats=bn_stats,
+                              truth_assign=truth_assign)
     step_fn = jax.jit(multi, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -72,6 +73,7 @@ def measure_train(model="yolov3", size=416, batch=32, steps=4,
         "compute_dtype": compute_dtype or "float32-exact",
         "remat_every": remat_every,
         "bn_stats": bn_stats,
+        "truth_assign": truth_assign,
     }
 
 
@@ -84,7 +86,8 @@ def main():
         steps=int(os.environ.get("BENCH_TRAIN_STEPS", "4")),
         remat_every=(int(os.environ["BENCH_TRAIN_REMAT"])
                      if os.environ.get("BENCH_TRAIN_REMAT") else None),
-        bn_stats=os.environ.get("BENCH_TRAIN_BN_STATS", "twopass"))
+        bn_stats=os.environ.get("BENCH_TRAIN_BN_STATS", "twopass"),
+        truth_assign=os.environ.get("BENCH_TRAIN_TRUTH_ASSIGN", "scan"))
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res))
 

@@ -244,7 +244,8 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
                     ignore_thresh=0.5, truth_thresh=1.0, input_size=None,
                     seen=None, v2_variant: str = "darknet",
                     region_hyper: Optional[losses.RegionHyper] = None,
-                    detection_hyper: Optional[losses.DetectionHyper] = None):
+                    detection_hyper: Optional[losses.DetectionHyper] = None,
+                    truth_assign: str = "scan"):
     """Dispatch to the loss for the model family.
 
     v2 trains with darknet's region_layer.c semantics by default (rescore,
@@ -260,7 +261,8 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
         return losses.yolo_v3_loss(raw_scales, truths, eff_cfg,
                                    anchor_masks=masks,
                                    ignore_thresh=ignore_thresh,
-                                   truth_thresh=truth_thresh)
+                                   truth_thresh=truth_thresh,
+                                   truth_assign=truth_assign)
     if cfg.head == 2:
         (raw,) = raw_scales
         grid = raw.shape[1]

@@ -59,7 +59,8 @@ def _box_iou_xywh(a, b):
 # --------------------------------------------------------------------------
 
 def _v3_scale_delta(raw, truths, anchors_all, mask, input_size,
-                    ignore_thresh, truth_thresh, num_classes):
+                    ignore_thresh, truth_thresh, num_classes,
+                    truth_assign: str = "scan"):
     """Per-scale delta for one image.
 
     raw: (G, G, A*(5+C)) raw conv output (NHWC cell layout, anchor-major).
@@ -117,6 +118,11 @@ def _v3_scale_delta(raw, truths, anchors_all, mask, input_size,
     mask_arr = jnp.asarray(mask, jnp.int32)
     anchors_norm = anchors_all / input_size                    # normalized wh
 
+    if truth_assign == "vectorized":
+        return _assign_vectorized(
+            delta, truths, anchors_all, anchors_norm, mask_arr, G, A, C,
+            input_size, txy, p, tobj, tcls, pred)
+
     def per_truth(k, state):
         delta, n_assigned, iou_sum, obj_sum, cls_sum = state
         t = truths[k]
@@ -166,15 +172,93 @@ def _v3_scale_delta(raw, truths, anchors_all, mask, input_size,
     return delta, metrics
 
 
+def _assign_vectorized(delta, truths, anchors_all, anchors_norm, mask_arr,
+                       G, A, C, input_size, txy, p, tobj, tcls, pred):
+    """Vectorized twin of the sequential per-truth assignment scan.
+
+    The C walks truths in order and *overwrites* the owning
+    (cell, anchor-slot)'s delta (yolo_layer.c:196-240), so a truth loses to
+    any LATER truth mapping to the same slot. This form computes every
+    truth's row at once, resolves collisions with an explicit
+    last-writer-wins mask (a (T, T) comparison — T is ~90), and applies the
+    winners in one scatter, replacing T sequential dynamic-update-slices
+    with one MXU/VPU-friendly batch. Per-row math is elementwise the same
+    as the scan's — deltas agree to 1 ulp (XLA fuses the two forms
+    differently); the metric SUMS are reassociated (jnp.sum vs sequential
+    +=), differing only in f32 rounding.
+    """
+    T = truths.shape[0]
+    t = truths                                                 # (T, 5)
+    valid = t[:, 2] > 0
+    wh = jnp.concatenate([jnp.zeros((T, 2)), t[:, 2:4]], -1)   # (T, 4)
+    anc = jnp.concatenate(
+        [jnp.zeros_like(anchors_norm), anchors_norm], -1)      # (N, 4)
+    wh_iou = _box_iou_xywh(wh[:, None, :], anc[None, :, :])    # (T, N)
+    best_n = jnp.argmax(wh_iou, axis=-1)                       # (T,)
+    hit = mask_arr[None, :] == best_n[:, None]                 # (T, A)
+    in_scale = jnp.any(hit, axis=-1)
+    slot = jnp.argmax(hit, axis=-1)
+    ci = jnp.clip((t[:, 0] * G).astype(jnp.int32), 0, G - 1)
+    cj = jnp.clip((t[:, 1] * G).astype(jnp.int32), 0, G - 1)
+    do = valid & in_scale
+
+    scale = 2.0 - t[:, 2] * t[:, 3]
+    tx = t[:, 0] * G - ci
+    ty = t[:, 1] * G - cj
+    tw = jnp.log(jnp.maximum(t[:, 2] * input_size / anchors_all[best_n, 0],
+                             1e-9))
+    th = jnp.log(jnp.maximum(t[:, 3] * input_size / anchors_all[best_n, 1],
+                             1e-9))
+    txy_sel = txy[cj, ci, slot]                                # (T, 2)
+    p_sel = p[cj, ci, slot]                                    # (T, 5+C)
+    tobj_sel = tobj[cj, ci, slot]                              # (T,)
+    tcls_sel = tcls[cj, ci, slot]                              # (T, C)
+    dbox = jnp.stack([
+        scale * (tx - txy_sel[:, 0]),
+        scale * (ty - txy_sel[:, 1]),
+        scale * (tw - p_sel[:, 2]),
+        scale * (th - p_sel[:, 3]),
+    ], -1)
+    cls = t[:, 4].astype(jnp.int32)
+    donehot = jax.nn.one_hot(cls, C) - tcls_sel
+    new = jnp.concatenate([dbox, (1.0 - tobj_sel)[:, None], donehot], -1)
+
+    key = (cj * G + ci) * A + slot
+    kk = lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    k2 = lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    beaten = jnp.any((key[None, :] == key[:, None]) & (k2 > kk) & do[None, :],
+                     axis=-1)
+    win = do & ~beaten
+    # losers are routed out of bounds and dropped by the scatter
+    delta = delta.at[jnp.where(win, cj, G), jnp.where(win, ci, G),
+                     jnp.where(win, slot, A)].set(new, mode="drop")
+
+    # metrics accumulate for EVERY applied truth, overwritten or not,
+    # exactly like the C's running sums (yolo_layer.c:232-238)
+    iou_k = _box_iou_xywh(pred[cj, ci, slot], t[:, :4])        # (T,)
+    dof = do.astype(jnp.float32)
+    metrics = {"count": jnp.sum(dof),
+               "iou_sum": jnp.sum(jnp.where(do, iou_k, 0.0)),
+               "obj_sum": jnp.sum(jnp.where(do, tobj_sel, 0.0)),
+               "cls_sum": jnp.sum(jnp.where(do, tcls_sel[jnp.arange(T), cls],
+                                            0.0)),
+               "avg_anyobj": jnp.mean(tobj)}
+    return delta, metrics
+
+
 def yolo_v3_loss(raw_scales, truths, cfg, *, anchor_masks,
-                 ignore_thresh=0.5, truth_thresh=1.0):
+                 ignore_thresh=0.5, truth_thresh=1.0,
+                 truth_assign: str = "scan"):
     """Full v3 loss over all FPN scales.
 
     raw_scales: list of (B, G, G, A*(5+C)) raw feature maps (spec order).
     truths: (B, T, 5) normalized (cx, cy, w, h, class), w==0 padding.
     Returns (loss, metrics); ``loss`` backpropagates darknet's exact delta,
     its *value* is sum(delta^2) (darknet's printed cost), metrics mirror the
-    Region-line stats (yolo_layer.c:241).
+    Region-line stats (yolo_layer.c:241). ``truth_assign`` selects the
+    sequential per-truth scan ("scan", the literal C form) or the one-shot
+    scatter with an explicit last-writer-wins mask ("vectorized") — deltas
+    agree to 1 ulp, metric sums differ only by f32 reassociation.
     """
     anchors_all = jnp.asarray(cfg.anchors, jnp.float32)
     total_cost = 0.0
@@ -185,7 +269,8 @@ def yolo_v3_loss(raw_scales, truths, cfg, *, anchor_masks,
         fn = functools.partial(
             _v3_scale_delta, anchors_all=anchors_all, mask=tuple(mask),
             input_size=cfg.input_size, ignore_thresh=ignore_thresh,
-            truth_thresh=truth_thresh, num_classes=cfg.num_classes)
+            truth_thresh=truth_thresh, num_classes=cfg.num_classes,
+            truth_assign=truth_assign)
         delta, m = jax.vmap(fn)(raw, truths)
         delta = lax.stop_gradient(delta)
         # 1/batch: darknet applies learning_rate/batch at update time
