@@ -46,7 +46,7 @@ def _c_get_current_rate(o: T.NetTrainOptions, batch_num: int) -> float:
         return lr * o.gamma ** batch_num
     if o.policy == "poly":
         return lr * (1 - batch_num / o.max_batches) ** o.power
-    if o.policy == "sig":
+    if o.policy == "sigmoid":
         return lr * (1.0 / (1.0 + math.exp(o.gamma * (batch_num - o.step))))
     raise ValueError(o.policy)
 
@@ -60,7 +60,7 @@ def _c_get_current_rate(o: T.NetTrainOptions, batch_num: int) -> float:
     T.NetTrainOptions(learning_rate=1e-2, policy="exp", gamma=0.999),
     T.NetTrainOptions(learning_rate=1e-2, policy="poly", power=2.0,
                       max_batches=500),
-    T.NetTrainOptions(learning_rate=1e-2, policy="sig", gamma=0.1,
+    T.NetTrainOptions(learning_rate=1e-2, policy="sigmoid", gamma=0.1,
                       step=200),
 ])
 def test_darknet_schedule_matches_c_transcription(opts):
@@ -89,6 +89,25 @@ def test_darknet_schedule_matches_c_transcription(opts):
 def test_random_policy_rejected():
     with pytest.raises(NotImplementedError):
         T.darknet_schedule(T.NetTrainOptions(policy="random"))
+
+
+def test_unknown_policy_warns_constant():
+    """get_policy falls back to constant with a warning for unknown names
+    (src/parser.c:639-641) — including 'sig', which is only the C's
+    internal enum name, not a cfg keyword."""
+    with pytest.warns(UserWarning, match="going with constant"):
+        sched = T.darknet_schedule(
+            T.NetTrainOptions(learning_rate=3e-3, policy="sig"))
+    assert float(sched(jnp.int32(123))) == pytest.approx(3e-3)
+
+
+def test_poly_policy_clamps_past_max_batches():
+    """Past max_batches (where the C simply stops training) the poly rate
+    must hold ~0, not resurge through the even power."""
+    sched = T.darknet_schedule(T.NetTrainOptions(
+        learning_rate=1e-2, policy="poly", power=4.0, max_batches=100))
+    assert float(sched(jnp.int32(100))) == 0.0
+    assert float(sched(jnp.int32(200))) == 0.0
 
 
 def test_net_options_from_cfg_section():

@@ -10,6 +10,7 @@ ICI — GSPMD inserts the psum from the sharding annotations alone.
 from __future__ import annotations
 
 import dataclasses as _dc
+import warnings
 from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
@@ -106,7 +107,9 @@ class NetTrainOptions:
 def darknet_schedule(opts: NetTrainOptions):
     """Traceable transcription of get_current_rate (src/network.c:90-120):
     burn-in ramp lr*(i/burn_in)^power while i < burn_in, then the cfg's
-    policy. Policies: constant, step, steps, exp, poly, sig. darknet's
+    policy. Policies: constant, step, steps, exp, poly, sigmoid (the cfg
+    keywords get_policy accepts, src/parser.c:630-642); an unknown name
+    warns and falls back to constant exactly like the C. darknet's
     'random' policy (lr*rand()^power per batch) is intentionally not
     reproduced — a schedule must be a pure function of the step for the
     jitted train step; no shipped cfg uses it."""
@@ -114,26 +117,33 @@ def darknet_schedule(opts: NetTrainOptions):
         raise NotImplementedError(
             "policy=random (get_current_rate's rand_uniform draw) is not "
             "supported: schedules are pure functions of the step here")
-    if opts.policy not in ("constant", "step", "steps", "exp", "poly",
-                           "sig"):
-        raise ValueError(f"unknown lr policy '{opts.policy}'")
+    policy = opts.policy
+    if policy not in ("constant", "step", "steps", "exp", "poly",
+                      "sigmoid"):
+        # get_policy: "Couldn't find policy %s, going with constant"
+        warnings.warn(f"Couldn't find policy {policy}, going with constant")
+        policy = "constant"
     lr = opts.learning_rate
 
     def schedule(step):
         s = jnp.asarray(step).astype(jnp.float32)
-        if opts.policy == "step":
+        if policy == "step":
             rate = lr * opts.scale ** (jnp.asarray(step) // opts.step) \
                 .astype(jnp.float32)
-        elif opts.policy == "steps":
+        elif policy == "steps":
             factor = jnp.float32(1.0)
             for si, sc in zip(opts.steps, opts.scales):
                 factor = factor * jnp.where(jnp.asarray(step) >= si, sc, 1.0)
             rate = lr * factor
-        elif opts.policy == "exp":
+        elif policy == "exp":
             rate = lr * opts.gamma ** s
-        elif opts.policy == "poly":
-            rate = lr * (1.0 - s / max(opts.max_batches, 1)) ** opts.power
-        elif opts.policy == "sig":
+        elif policy == "poly":
+            # C never evaluates past max_batches (training stops there);
+            # clamp so steps beyond it hold ~0 instead of the negative base
+            # resurging through an even power (or NaN for fractional ones)
+            frac = jnp.minimum(s / max(opts.max_batches, 1), 1.0)
+            rate = lr * (1.0 - frac) ** opts.power
+        elif policy == "sigmoid":
             rate = lr * (1.0 / (1.0 + jnp.exp(opts.gamma
                                               * (s - opts.step))))
         else:  # constant
