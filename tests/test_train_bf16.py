@@ -191,3 +191,32 @@ def test_bn_onepass_stats_and_gradients_track_twopass():
     d1 = _flat_delta(state.params, s1.params)
     cos = float(d2 @ d1 / (np.linalg.norm(d2) * np.linalg.norm(d1)))
     assert cos > 0.9999, cos
+
+
+def test_bn_onepass_reaches_deconv_and_dense():
+    """The onepass knob must thread into EVERY feedforward BN site — deconv
+    and connected too, not just conv — so the A/B measures one mode, not a
+    silent mix. Gate: engine.apply(train=True) batch stats track the
+    two-pass form to cancellation tolerance on a net of all three."""
+    from yolo_tensorflow_tpu.models import engine as E, specs as S
+
+    specs = [S.Conv(8, 3, bn=True), S.Deconv(6, 3, stride=2, bn=True),
+             S.GlobalAvgPool(), S.Dense(5, bn=True)]
+    params, _ = E.init_params(specs, (1, 16, 16, 3), jax.random.PRNGKey(1),
+                              folded=False)
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(2.0, 3.0, (4, 16, 16, 3)),
+        jnp.float32)
+    outs = {}
+    for mode in ("twopass", "onepass"):
+        _, aux = E.apply(specs, params, x, train=True, bn_stats=mode)
+        outs[mode] = aux["batch_stats"]
+    for key, st2 in outs["twopass"].items():
+        st1 = outs["onepass"][key]
+        np.testing.assert_allclose(np.asarray(st1["var"]),
+                                   np.asarray(st2["var"]),
+                                   rtol=1e-3, atol=1e-5)
+        # onepass is E[x^2]-E[x]^2 — with a nonzero mean it is NOT
+        # bit-identical to the two-pass form, proving the knob reached
+        # this layer's BN rather than silently keeping two-pass
+        assert (np.asarray(st1["var"]) != np.asarray(st2["var"])).any(), key

@@ -68,10 +68,13 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         natively-trained params evaluated unfolded so train/deploy agree).
       time_steps: recurrent step count (darknet's net-level ``time_steps``,
         src/parser.c:650). Rows are step-major: x's leading dim is B*T.
-      bn_stats: train-mode BN batch-stat form for the conv path —
-        'twopass' (darknet-exact E[(x-mean)^2]) or 'onepass'
-        (E[x^2]-E[x]^2, one fused activation read; see
-        ops/layers.batch_norm_train and PERF_TRAIN.md).
+      bn_stats: train-mode BN batch-stat form for the feedforward BN
+        sites (conv, deconv, connected) — 'twopass' (darknet-exact
+        E[(x-mean)^2]) or 'onepass' (E[x^2]-E[x]^2, one fused activation
+        read; see ops/layers.batch_norm_train and PERF_TRAIN.md).
+        Recurrent sublayers always keep the two-pass form: their BN stats
+        go through the law-of-total-variance step fold (ops/recurrent.py)
+        and carry a negligible FLOP share of any net that has them.
       rec_state: {layer_key: state} initial recurrent state; None = zeros
         everywhere (a freshly loaded darknet net). The final state of every
         recurrent layer is returned in aux["rec_state"] so stateful
@@ -163,7 +166,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                 st = None if train else _bn_stats(batch_stats, layer_key(i))
                 cur, upd = L.connected_forward(cur, p, st, spec.act,
                                                train=train, bn_eps=bn_eps,
-                                               bn_formula=bn_formula)
+                                               bn_formula=bn_formula,
+                                               bn_stats=bn_stats)
                 if upd is not None:
                     new_stats[layer_key(i)] = upd
             else:
@@ -211,7 +215,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                                  pad=spec.pad, compute_dtype=cd)
                 if train:
                     cur, m, v = L.batch_norm_train(cur, p["gamma"],
-                                                   p["beta"], bn_eps)
+                                                   p["beta"], bn_eps,
+                                                   stats=bn_stats)
                     new_stats[layer_key(i)] = {"mean": m, "var": v}
                 else:
                     st = _bn_stats(batch_stats, layer_key(i))

@@ -45,13 +45,15 @@ def activate(x, name: str):
 
 
 def connected_forward(x, p, st, act, *, train, bn_eps,
-                      bn_formula="darknet"):
+                      bn_formula="darknet", bn_stats: str = "twopass"):
     """forward_connected_layer (src/connected_layer.c): matmul, then batch
     norm (the layer's biases act as BN beta) or bias add, then activation.
     x (B, In) -> (B, Out). ``p`` is {"w","b"} (folded / no BN) or
     {"w","gamma","beta"}; ``st`` the running {"mean","var"} for unfolded
-    inference. Returns (y, batch_stats_or_None) — used by both the engine's
-    [connected] layers and every recurrent sublayer (ops/recurrent.py)."""
+    inference. ``bn_stats`` mirrors batch_norm_train's twopass/onepass
+    variance forms. Returns (y, batch_stats_or_None) — used by both the
+    engine's [connected] layers and every recurrent sublayer
+    (ops/recurrent.py)."""
     if "gamma" not in p:
         return activate(dense(x, p["w"], p["b"]), act), None
     precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
@@ -59,7 +61,11 @@ def connected_forward(x, p, st, act, *, train, bn_eps,
                 preferred_element_type=jnp.float32, precision=precision)
     if train:
         mean = jnp.mean(y, axis=0)
-        var = jnp.var(y, axis=0)
+        if bn_stats == "onepass":
+            var = jnp.maximum(jnp.mean(jnp.square(y), axis=0)
+                              - jnp.square(mean), 0.0)
+        else:
+            var = jnp.var(y, axis=0)
         inv = p["gamma"] * lax.rsqrt(var + bn_eps)
         y = y * inv + (p["beta"] - mean * inv)
         return activate(y, act), {"mean": mean, "var": var}
