@@ -55,6 +55,15 @@ w2, g = f(w, x)
 assert abs(float(g) - 12.0) < 1e-5, float(g)
 w2np = np.asarray(jax.device_get(w2.addressable_shards[0].data))
 assert np.allclose(w2np, 1.0 - 1.2), w2np
+
+# runner.py's resume path broadcasts process 0's restored (state, step) so
+# hosts without a shared ckpt dir cannot desync; prove the pytree
+# broadcast carries process 0's values to everyone
+from jax.experimental import multihost_utils
+mine = ({"a": np.full((3,), pid, np.float32)}, np.int64(1000 * (pid + 1)))
+theirs, step = multihost_utils.broadcast_one_to_all(mine)
+assert int(step) == 1000, int(step)
+assert np.allclose(np.asarray(theirs["a"]), 0.0), theirs
 print("MULTIHOST_OK", pid, flush=True)
 """
 

@@ -265,15 +265,33 @@ def run_training(args):
         state = restored
         print(f"resumed from step {start_step}")
 
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # only process 0 saves checkpoints; without a shared filesystem the
+        # others would restore nothing and resume at step 0 — every train
+        # step is a cross-host collective, so the first mismatched dispatch
+        # deadlocks. Broadcast process 0's view so all hosts agree.
+        from jax.experimental import multihost_utils
+        state, step_arr = multihost_utils.broadcast_one_to_all(
+            (state, np.int64(start_step)))
+        start_step = int(step_arr)
+
     # multi-host input: each process loads a disjoint sample shard and
     # feeds its local rows of the global batch (shard_batch assembles the
     # global array with zero cross-host pixel traffic)
-    n_proc = jax.process_count()
     if n_proc > 1:
         if batch_size % n_proc:
             raise SystemExit(f"batch size {batch_size} must divide across "
                              f"{n_proc} processes")
-        samples = samples[jax.process_index()::n_proc]
+        # truncate every shard to the same length: unequal shards (or the
+        # loader's drop-last on top of them) would give processes different
+        # per-epoch step counts, and a step one host skips is a collective
+        # the others block in forever
+        per = len(samples) // n_proc
+        if per == 0:
+            raise SystemExit(f"{len(samples)} samples cannot feed "
+                             f"{n_proc} processes")
+        samples = samples[jax.process_index()::n_proc][:per]
         local_batch = batch_size // n_proc
     else:
         local_batch = batch_size
@@ -334,7 +352,12 @@ def run_training(args):
                         jax.process_index() == 0:
                     path = ckpt.save_train_state(state, args.ckpt_dir, step_i)
                     print(f"saved {path}")
-                if val_samples and eval_every and step_i % eval_every == 0:
+                # in-training eval runs on process 0 only: it dispatches no
+                # cross-host collectives (the Detector it builds is local),
+                # so N-fold duplicate evals would only waste host+device
+                # time and print N identical lines
+                if val_samples and eval_every and step_i % eval_every == 0 \
+                        and jax.process_index() == 0:
                     if cfg.head == 0:
                         acc = evaluate_classifier(cfg, state, val_samples,
                                                   limit=200)
