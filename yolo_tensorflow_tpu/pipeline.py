@@ -32,6 +32,18 @@ def normalize_images(images_uint8, cfg: C.ModelConfig, dtype=jnp.float32):
     return x / cfg.input_scale
 
 
+def normalization_fold(cfg: C.ModelConfig):
+    """(rescale, offset) such that ``px_over_255 * rescale + offset`` equals
+    ``normalize_images(uint8_px)`` — the per-model normalization folded into
+    on-device interpolation matrices (letterbox/center-crop) so the fused
+    paths add zero extra passes. Single source for the detector's fused
+    letterbox and the classifier's center-crop jit; any new
+    cfg.normalization mode must extend THIS, not the call sites."""
+    if cfg.normalization == "symmetric":
+        return 2.0, -1.0
+    return 255.0 / cfg.input_scale, 0.0
+
+
 def _nms_opts(cfg, max_detections, conf_threshold, iou_threshold,
               class_aware_nms, num_candidates):
     """Resolve the per-call NMS overrides against the model config ONCE —
@@ -169,10 +181,7 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
 
     # fold the per-model normalization (normalize_images' contract) into
     # the letterbox interpolation itself — zero extra passes
-    if cfg.normalization == "symmetric":
-        rescale, offset = 2.0, -1.0
-    else:
-        rescale, offset = 255.0 / cfg.input_scale, 0.0
+    rescale, offset = normalization_fold(cfg)
 
     def forward(params, canvas_uint8, sizes):
         x = P.letterbox_device_batch(canvas_uint8, sizes, S,
@@ -275,12 +284,15 @@ def smooth_state_shapes(cfg: C.ModelConfig, specs, batch_size: int,
     return tuple(tails)
 
 
-def canvas_side(h: int, w: int, input_size: int) -> int:
-    """Fused-letterbox canvas bucket for an (h, w) image: canvases quantize
-    to 256-px buckets so arbitrary input sizes share a handful of compiled
-    executables (Detector._detect_fused and eval/batched.py must agree —
-    this is the single definition)."""
-    return max(((max(h, w, input_size) + 255) // 256) * 256, 256)
+def canvas_side(*extents: int) -> int:
+    """On-device-resize canvas bucket covering the given extents: canvases
+    quantize to 256-px buckets so arbitrary input sizes share a handful of
+    compiled executables. Detector._detect_fused / eval/batched.py pass
+    (h, w, input_size); Classifier.classify_batch_center_crop passes just
+    the crop side (its device letterbox upscales, so the canvas need not
+    cover the net input). This is the single definition — the bucket
+    granularity must agree everywhere or compile caches split."""
+    return max(((max(extents) + 255) // 256) * 256, 256)
 
 
 class Detector:
@@ -529,10 +541,7 @@ class Classifier:
             cfg, specs, cd = self.cfg, self.specs, self._compute_dtype
             # fold the model normalization into the resize matrices, same
             # contract as the fused detector path
-            if cfg.normalization == "symmetric":
-                rescale, offset = 2.0, -1.0
-            else:
-                rescale, offset = 255.0 / cfg.input_scale, 0.0
+            rescale, offset = normalization_fold(cfg)
 
             def fwd(p, canvas_u8, sizes):
                 x = P.letterbox_device_batch(canvas_u8, sizes,
@@ -560,7 +569,7 @@ class Classifier:
         sides bucket at 256 px: one compilation serves every image whose
         crop fits the bucket. Returns (B, classes) probs on device."""
         ms = [min(im.shape[0], im.shape[1]) for im in images]
-        side = max(256, -(-max(ms) // 256) * 256)
+        side = canvas_side(max(ms))
         canvas = np.zeros((len(images), side, side, 3), np.uint8)
         sizes = np.zeros((len(images), 2), np.int32)
         for i, im in enumerate(images):

@@ -836,7 +836,13 @@ def yolo_v1_loss(pred_flat, truths, cfg, *,
     S, n, C = cfg.grid, cfg.boxes_per_cell, cfg.num_classes
     grid = build_v1_truth_grid(truths, C, S)
     if hyper.random:
-        s = jnp.asarray(0 if seen is None else seen)
+        if seen is None:
+            raise ValueError(
+                "hyper.random=True needs the `seen` counter: it seeds the "
+                "per-step responsibility draw and gates the seen<64000 "
+                "warmup (detection_layer.c:143-145); without it every step "
+                "would reuse one fixed pseudo-random pattern forever")
+        s = jnp.asarray(seen)
         key = jax.random.PRNGKey(s.astype(jnp.int32))
         rand_idx = jax.random.randint(key, (B, S * S), 0, n, jnp.int32)
         use_random = jnp.broadcast_to(s < 64000, (B,))
