@@ -86,9 +86,20 @@ def test_darknet_schedule_matches_c_transcription(opts):
         assert got == pytest.approx(want, rel=1e-4), (b, got, want)
 
 
-def test_random_policy_rejected():
-    with pytest.raises(NotImplementedError):
-        T.darknet_schedule(T.NetTrainOptions(policy="random"))
+def test_random_policy_step_seeded():
+    """policy=random (lr*rand_uniform()^power per batch,
+    src/network.c:111) draws from a step-seeded PRNG: deterministic per
+    step (resume-reproducible, unlike the C's global rand() stream),
+    fresh across steps, bounded by lr, matching the pow-law shaping."""
+    opts = T.NetTrainOptions(learning_rate=1e-2, policy="random",
+                             power=4.0)
+    sched = T.darknet_schedule(opts)
+    r = [float(sched(jnp.int32(b))) for b in range(32)]
+    assert all(0.0 <= v <= opts.learning_rate for v in r)
+    assert len({round(v, 12) for v in r}) > 16          # fresh draws
+    assert float(sched(jnp.int32(7))) == r[7]           # pure in step
+    # pow(u,4) of uniform u has mean 1/5
+    assert 0.05 < sum(r) / len(r) / opts.learning_rate < 0.5
 
 
 def test_unknown_policy_warns_constant():

@@ -107,19 +107,17 @@ class NetTrainOptions:
 def darknet_schedule(opts: NetTrainOptions):
     """Traceable transcription of get_current_rate (src/network.c:90-120):
     burn-in ramp lr*(i/burn_in)^power while i < burn_in, then the cfg's
-    policy. Policies: constant, step, steps, exp, poly, sigmoid (the cfg
-    keywords get_policy accepts, src/parser.c:630-642); an unknown name
-    warns and falls back to constant exactly like the C. darknet's
-    'random' policy (lr*rand()^power per batch) is intentionally not
-    reproduced — a schedule must be a pure function of the step for the
-    jitted train step; no shipped cfg uses it."""
-    if opts.policy == "random":
-        raise NotImplementedError(
-            "policy=random (get_current_rate's rand_uniform draw) is not "
-            "supported: schedules are pure functions of the step here")
+    policy. Policies: constant, step, steps, exp, poly, sigmoid, random
+    (the cfg keywords get_policy accepts, src/parser.c:630-642); an
+    unknown name warns and falls back to constant exactly like the C.
+    'random' (lr*rand_uniform()^power fresh per batch) draws from a
+    step-seeded PRNG: the same distribution as the C's rand(), but a pure
+    function of the step as the jitted train step requires — and
+    therefore reproducible across resumes, which the C's global rand()
+    stream is not."""
     policy = opts.policy
     if policy not in ("constant", "step", "steps", "exp", "poly",
-                      "sigmoid"):
+                      "sigmoid", "random"):
         # get_policy: "Couldn't find policy %s, going with constant"
         warnings.warn(f"Couldn't find policy {policy}, going with constant")
         policy = "constant"
@@ -146,6 +144,10 @@ def darknet_schedule(opts: NetTrainOptions):
         elif policy == "sigmoid":
             rate = lr * (1.0 / (1.0 + jnp.exp(opts.gamma
                                               * (s - opts.step))))
+        elif policy == "random":
+            key = jax.random.fold_in(jax.random.PRNGKey(0x5EED),
+                                     jnp.asarray(step).astype(jnp.int32))
+            rate = lr * jax.random.uniform(key) ** opts.power
         else:  # constant
             rate = jnp.float32(lr)
         if opts.burn_in > 0:
