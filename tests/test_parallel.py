@@ -134,6 +134,40 @@ def test_detector_with_mesh_matches_single():
                                np.asarray(got.scores), rtol=1e-4, atol=1e-6)
 
 
+def test_detector_mesh_fused_matches_single():
+    """The FUSED letterbox path under a mesh must shard its canvas inputs
+    (batch over data) and reproduce the single-device fused results —
+    previously _jit_fused was built with no in_shardings, so the batch was
+    silently replicated across the mesh."""
+    from yolo_tensorflow_tpu.pipeline import Detector
+    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, SIZE, SIZE, 3),
+                                   jax.random.PRNGKey(5), folded=True)
+    rng = np.random.default_rng(6)
+    canvas = np.zeros((8, 256, 256, 3), np.uint8)
+    sizes = np.zeros((8, 2), np.int32)
+    for i in range(8):
+        h, w = int(rng.integers(80, 256)), int(rng.integers(80, 256))
+        canvas[i, :h, :w] = rng.integers(0, 255, (h, w, 3), np.uint8)
+        sizes[i] = (h, w)
+
+    kw = dict(params=params, input_size=SIZE, num_candidates=32,
+              fused=True, letterbox=True)
+    want = Detector("yolov3-tiny", **kw).detect_batch_fused(canvas, sizes)
+    mesh = M.make_mesh(4, 2)
+    det = Detector("yolov3-tiny", mesh=mesh, **kw)
+    with mesh:
+        got = det.detect_batch_fused(canvas, sizes)
+        # the canvas argument really is laid out batch-over-data
+        shardings = det._jit_fused.lower(
+            det.params, canvas, sizes).compile().input_shardings[0]
+        assert not shardings[1].is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(want.num), np.asarray(got.num))
+    np.testing.assert_allclose(np.asarray(want.scores),
+                               np.asarray(got.scores), rtol=1e-4, atol=1e-6)
+
+
 def test_multi_step_equals_sequential():
     from yolo_tensorflow_tpu.pipeline import normalize_images  # noqa: F401
     cfg = C.get_config("yolov3-tiny", input_size=SIZE)

@@ -297,6 +297,26 @@ activation=linear
         out = capsys.readouterr().out
         assert len(out.rstrip("\n")) == 10
 
+    def test_no_softmax_cfg_trains_and_generates(self, tmp_path):
+        """A cfg whose head has no [softmax] trains through the logits-CE
+        branch; the sampler must softmax the raw logits itself —
+        previously temper_probs clipped logits into a garbage distribution
+        silently. Gate: the learned cycle still generates."""
+        from yolo_tensorflow_tpu import textgen
+        p = tmp_path / "nosm.cfg"
+        p.write_text(self.CFG.replace("[softmax]", ""))
+        text = bytes(range(97, 105)) * 100
+        specs, params, vocab = textgen.train_char_rnn(
+            text, str(p), steps_per_seq=16, batch=8, iters=250, lr=5e-3,
+            log_every=250, log=lambda s: None)
+        seed = chr(97 % 8)
+        out = textgen.generate(specs, params, vocab, seed_text=seed,
+                               n=16, temperature=0.1, rng_seed=0)
+        codes = [ord(c) for c in out]
+        hits = sum((codes[i + 1] - codes[i]) % vocab == 1
+                   for i in range(len(codes) - 1))
+        assert hits >= 14, codes
+
     def test_temper_probs_matches_c_order(self):
         """Transcription of the C ordering (softmax temperature FIRST,
         rnn.c 1e-4 floor on the TEMPERED probs): a raw prob of 5e-5

@@ -29,12 +29,19 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 
-def _read_rgb(path: str) -> np.ndarray:
+def read_rgb(path: str) -> np.ndarray:
+    """Decode an image file to RGB uint8 or raise FileNotFoundError — the
+    one shared reader for every eval/serving path (detector eval, classifier
+    eval, Detector.detect_from_file), so decode semantics cannot drift
+    between them."""
     import cv2
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+_read_rgb = read_rgb  # compat alias (internal call sites predate the rename)
 
 
 def _canvas_side(h: int, w: int, input_size: int) -> int:

@@ -56,22 +56,27 @@ def validate_classifier(clf, samples: Sequence[Tuple[str, int]], *,
     load_classifier_list). Returns running accuracies exactly as the C
     accumulates them: top1 = mean(argmax == class), top{k} = mean(class
     in top-k). Images whose path matched no label (class_id < 0) count
-    as misses, like the C's class = -1."""
-    import cv2
+    as misses, like the C's class = -1.
 
-    def _load(path):
-        img = cv2.imread(path)
-        if img is None:
-            raise FileNotFoundError(path)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    Decode overlaps compute: chunk k+1 decodes on the worker pool while
+    the device classifies chunk k (the dispatch is async; only the probs
+    readback blocks), so wall-clock is ~max(decode, compute) per chunk,
+    the same shape as eval/batched.py's detector pipeline."""
+    from yolo_tensorflow_tpu.eval.batched import read_rgb
 
+    chunks = [samples[s:s + batch_size]
+              for s in range(0, len(samples), batch_size)]
     n = t1 = tk = 0
     with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        for start in range(0, len(samples), batch_size):
-            chunk = samples[start:start + batch_size]
-            imgs = list(pool.map(_load, [p for p, _ in chunk]))
-            probs = np.asarray(clf.classify_batch_center_crop(imgs),
-                               np.float32)
+        def decode(chunk):
+            return list(pool.map(read_rgb, [p for p, _ in chunk]))
+
+        imgs = decode(chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            probs_dev = clf.classify_batch_center_crop(imgs)
+            # decode the NEXT chunk while the device runs this one
+            imgs = decode(chunks[ci + 1]) if ci + 1 < len(chunks) else None
+            probs = np.asarray(probs_dev, np.float32)
             idx = topk_indices(probs, top_k)
             for (path, cls), row in zip(chunk, idx):
                 t1 += int(row[0] == cls)

@@ -103,6 +103,15 @@ def denormalize(specs, params, batch_stats):
                  - np.asarray(st["mean"], np.float32) * scale)
             out[key] = {"w": w, "b": b}
             new_specs[i] = dataclasses.replace(spec, bn=False)
+        elif isinstance(spec, S.RECURRENT) and getattr(spec, "bn", False):
+            # the C denormalizes GRU sublayers too (darknet.c:478-483);
+            # folding nested sublayer BN is not implemented here — fail
+            # clearly instead of a KeyError at save time
+            raise NotImplementedError(
+                f"denormalize: layer {i} ({type(spec).__name__}) has "
+                "batch_normalize sublayers, which this operation does not "
+                "fold — retrain/convert the recurrent layers without "
+                "batch_normalize first")
         else:
             out[key] = dict(p)
     return tuple(new_specs), out
@@ -116,8 +125,7 @@ def reset_normalize(specs, params, batch_stats):
     to plain denormalize at inference: darknet's normalize_cpu divides
     by sqrt(1)+1e-6, a one-ppm shrink per layer — the C has the same
     drift. specs are unchanged. GRU sub-layers (which the C also
-    resets) are not handled; recurrent BN cfgs raise at save time if
-    encountered here."""
+    resets) are not handled; recurrent BN raises immediately."""
     out_p = {}
     out_s = {}
     for i, spec in enumerate(specs):
@@ -140,6 +148,12 @@ def reset_normalize(specs, params, batch_stats):
             }
             out_s[key] = {"mean": np.zeros(n, np.float32),
                           "var": np.ones(n, np.float32)}
+        elif isinstance(spec, S.RECURRENT) and getattr(spec, "bn", False):
+            raise NotImplementedError(
+                f"reset: layer {i} ({type(spec).__name__}) has "
+                "batch_normalize sublayers, which this operation does not "
+                "reset — retrain/convert the recurrent layers without "
+                "batch_normalize first")
         else:
             out_p[key] = dict(p)
             if key in batch_stats:

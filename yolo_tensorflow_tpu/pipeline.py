@@ -366,9 +366,9 @@ class Detector:
                 letterbox_dtype = jnp.bfloat16
             # jit caches one executable per canvas shape; detect() rounds
             # canvases up to 256-px buckets to bound recompiles
-            self._jit_fused = jax.jit(make_forward_letterbox(
+            fwd_lb = make_forward_letterbox(
                 self.cfg, self.specs, compute_dtype=compute_dtype,
-                letterbox_dtype=letterbox_dtype, **nms_kwargs))
+                letterbox_dtype=letterbox_dtype, **nms_kwargs)
         self.mesh = mesh
         if mesh is not None:
             # scale-out batched serving: params replicated, images sharded
@@ -379,9 +379,18 @@ class Detector:
             self._jit_forward = jax.jit(
                 fwd, in_shardings=(M.replicated(mesh), self._image_sharding),
                 donate_argnums=(1,) if donate else ())
+            if self.fused:
+                # the fused path must shard its canvases too, or GSPMD
+                # replicates the batch and mesh scale-out is silently lost
+                self._jit_fused = jax.jit(
+                    fwd_lb, in_shardings=(M.replicated(mesh),
+                                          self._image_sharding,
+                                          M.batch_sharding(mesh)))
         else:
             self._jit_forward = jax.jit(
                 fwd, donate_argnums=(1,) if donate else ())
+            if self.fused:
+                self._jit_fused = jax.jit(fwd_lb)
 
     def _narrow_serving(self, compute_dtype) -> bool:
         """True when the model computes in a narrow dtype (bf16 compute or
@@ -494,11 +503,8 @@ class Detector:
         return self._jit_forward(self.params, images_uint8)
 
     def detect_from_file(self, path: str):
-        import cv2
-        img = cv2.imread(path)
-        if img is None:
-            raise FileNotFoundError(path)
-        return self.detect(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        from yolo_tensorflow_tpu.eval.batched import read_rgb
+        return self.detect(read_rgb(path))
 
 
 class Classifier:

@@ -33,12 +33,15 @@ def frame_source(source, size: int, loops: int = 1) -> Iterator[np.ndarray]:
     if isinstance(source, int) or (isinstance(source, str)
                                    and source.isdigit()):
         cap = cv2.VideoCapture(int(source))
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                return
-            yield cv2.cvtColor(cv2.resize(frame, (size, size)),
-                               cv2.COLOR_BGR2RGB)
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                yield cv2.cvtColor(cv2.resize(frame, (size, size)),
+                                   cv2.COLOR_BGR2RGB)
+        finally:
+            cap.release()  # free the camera even on generator close
     elif os.path.isdir(source):
         paths = sorted(glob.glob(os.path.join(source, "*")))
         paths = [p for p in paths
@@ -52,12 +55,15 @@ def frame_source(source, size: int, loops: int = 1) -> Iterator[np.ndarray]:
                                    cv2.COLOR_BGR2RGB)
     else:
         cap = cv2.VideoCapture(source)
-        while True:
-            ok, frame = cap.read()
-            if not ok:
-                return
-            yield cv2.cvtColor(cv2.resize(frame, (size, size)),
-                               cv2.COLOR_BGR2RGB)
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                yield cv2.cvtColor(cv2.resize(frame, (size, size)),
+                                   cv2.COLOR_BGR2RGB)
+        finally:
+            cap.release()
 
 
 def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
@@ -71,7 +77,9 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
     mean of the last N activated head outputs, smoothing detections over
     time; the tail state slides across batch boundaries."""
     size = detector.cfg.input_size
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    # Queue(maxsize<=0) would be UNBOUNDED — a fetcher outrunning the
+    # detector would buffer the whole video; prefetch floors at 1
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     SENTINEL = None
     stop = threading.Event()
 
@@ -112,32 +120,39 @@ def stream_detect(detector, source, *, batch_size: int = 8, loops: int = 1,
     batches = 0
     smooth_state = None
     t0 = time.perf_counter()
-    while True:
-        item = q.get()
-        if item is SENTINEL:
-            break
-        if isinstance(item, tuple):
-            images, valid = item
-        else:
-            images, valid = item, item.shape[0]
-        if avg_frames and avg_frames > 1:
-            dets, smooth_state = detector.detect_batch_smoothed(
-                images, smooth_state, avg_frames=avg_frames)
-        else:
-            dets = detector.detect_batch(images)
-        if on_batch is not None:
-            # single-transfer readback (post/nms.pack_detections): remote
-            # links charge a round trip per fetched array — hand the
-            # callback a host-materialized Detections in one transfer
-            on_batch(_fetch_packed(dets), images[:valid])
-        else:
-            # force completion so FPS is honest (demo.c prints per frame)
-            np.asarray(dets.num)
-        frames += valid
-        batches += 1
-        if max_batches and batches >= max_batches:
-            stop.set()  # release the fetcher (and its capture source)
-            break
+    try:
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            if isinstance(item, tuple):
+                images, valid = item
+            else:
+                images, valid = item, item.shape[0]
+            if avg_frames and avg_frames > 1:
+                dets, smooth_state = detector.detect_batch_smoothed(
+                    images, smooth_state, avg_frames=avg_frames)
+            else:
+                dets = detector.detect_batch(images)
+            if on_batch is not None:
+                # single-transfer readback (post/nms.pack_detections):
+                # remote links charge a round trip per fetched array — hand
+                # the callback a host-materialized Detections in one
+                # transfer
+                on_batch(_fetch_packed(dets), images[:valid])
+            else:
+                # force completion so FPS is honest (demo.c per-frame print)
+                np.asarray(dets.num)
+            frames += valid
+            batches += 1
+            if max_batches and batches >= max_batches:
+                break
+    finally:
+        # release the fetcher (and its capture source) on ANY exit —
+        # early stop, source end, or a detect/on_batch exception; without
+        # this a raising consumer leaks the thread and holds the camera
+        # open for the life of the process
+        stop.set()
     dt = time.perf_counter() - t0
     t.join(timeout=2.0)
     fps = frames / dt if dt > 0 else 0.0

@@ -114,9 +114,11 @@ class CharRnnSampler:
         # softmax(l/T_req), the C's sampling distribution. temper_probs
         # raises to 1/temperature, so divide the request by T_net.
         t_net = 1.0
+        has_softmax = False
         for sp in specs:
             if isinstance(sp, S.Softmax):
                 t_net = sp.temperature
+                has_softmax = True
         temperature = temperature / t_net
 
         @jax.jit
@@ -131,6 +133,13 @@ class CharRnnSampler:
             def body(carry, _):
                 st, c, k = carry
                 st, probs = step(st, c)
+                if not has_softmax:
+                    # cfg without a [softmax] layer (train_char_rnn's
+                    # logits-CE branch): the net emits raw logits, which
+                    # temper_probs would clip into garbage — normalize
+                    # first, mirroring the loss
+                    probs = jax.nn.softmax(probs.astype(jnp.float32),
+                                           axis=-1)
                 pt = temper_probs(probs, temperature)
                 k, sub = jax.random.split(k)
                 nxt = jax.random.categorical(sub, jnp.log(pt))
@@ -207,8 +216,11 @@ def _batch_windows(arr, vocab, batch, steps, rng):
             f"steps+1 = {steps + 1} (shrink --steps or use more text)")
     offs = rng.integers(0, len(arr) - steps, size=batch)
     win = np.stack([arr[o:o + steps + 1] for o in offs])  # (B, T+1)
-    x = np.eye(vocab, dtype=np.float32)[win[:, :-1]]      # (B, T, V)
-    x = x.transpose(1, 0, 2).reshape(steps * batch, vocab)  # step-major
+    # direct one-hot: np.eye(vocab)[...] would materialize a dense (V, V)
+    # identity per call — 10 GB at a 50k token vocabulary
+    idx = win[:, :-1].T.reshape(-1)                       # step-major
+    x = np.zeros((steps * batch, vocab), np.float32)
+    x[np.arange(idx.size), idx] = 1.0
     y = win[:, 1:].T.reshape(-1).astype(np.int32)
     return x, y
 
