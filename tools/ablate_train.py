@@ -64,7 +64,7 @@ def main(batch=128, size=416, model="yolov3"):
     cd = jnp.bfloat16
     drng = jax.random.PRNGKey(1)
 
-    def loss_fn(params, batch_stats, imgs, tr):
+    def loss_fn(params, batch_stats, imgs, tr, truth_assign="scan"):
         x = normalize_images(imgs, cfg)
         dets, aux = engine.apply(specs, params, x, train=True,
                                  bn_eps=cfg.bn_eps, compute_dtype=cd,
@@ -72,7 +72,7 @@ def main(batch=128, size=416, model="yolov3"):
         raw = [f.astype(jnp.float32) for f, _ in dets]
         loss, _ = loss_for_config(cfg, specs, raw, tr,
                                   ignore_thresh=0.5, input_size=size,
-                                  seen=100000)
+                                  seen=100000, truth_assign=truth_assign)
         return loss
 
     def dep(scalar):  # fold any scalar into the next input, breaks overlap
@@ -134,6 +134,12 @@ def main(batch=128, size=416, model="yolov3"):
         images)
     rows.append(("train fwd + loss (unfolded BN, batch stats)", t, 1.0))
 
+    if cfg.head == 3:
+        t = timeit(chained(
+            lambda im: loss_fn(state.params, state.batch_stats, im, truths,
+                               truth_assign="vectorized")), images)
+        rows.append(("train fwd + loss, vectorized truth assign", t, 1.0))
+
     # sum EVERY gradient leaf: summing just one leaf lets XLA dead-code
     # the other layers' weight-gradient convs and under-reports the
     # backward sweep by the whole wgrad cost (measured: tens of ms)
@@ -171,10 +177,18 @@ def main(batch=128, size=416, model="yolov3"):
         tflops = ips * fwd_gflops * fmul / 1e3
         print(f"{name:<46} {sec*1e3:8.1f} {ips:7.0f} "
               f"{100*tflops/V5E_BF16_PEAK_TFLOPS:6.1f}")
-    fo_t, fwd_t, grad_t, full_t = (rows[1][1], rows[3][1], rows[4][1],
-                                   rows[5][1])
-    print(f"onepass BN stats save {(fo_t-rows[2][1])*1e3:.1f} ms on the "
+    by = {name: sec for name, sec, _ in rows}
+    fo_t = by["train fwd only (unfolded BN, batch stats)"]
+    one_t = by["train fwd only, onepass BN stats (--bn-onepass)"]
+    fwd_t = by["train fwd + loss (unfolded BN, batch stats)"]
+    grad_t = by["fwd + backward (jax.grad, all grads live)"]
+    full_t = by["full step (+SGD update, BN rolling stats)"]
+    print(f"onepass BN stats save {(fo_t-one_t)*1e3:.1f} ms on the "
           f"train forward")
+    va = by.get("train fwd + loss, vectorized truth assign")
+    if va is not None:
+        print(f"vectorized truth assign saves {(fwd_t-va)*1e3:.1f} ms "
+              f"on fwd+loss vs the sequential scan")
     print(f"\nloss adds {(fwd_t-fo_t)*1e3:.1f} ms on the train forward; "
           f"backward adds {(grad_t-fwd_t)/fwd_t:.2f}x the train forward "
           f"(cost model predicts 2x); optimizer+stats epilogue adds "
