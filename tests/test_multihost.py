@@ -64,7 +64,8 @@ mine = ({"a": np.full((3,), pid, np.float32)}, np.int64(1000 * (pid + 1)))
 theirs, step = multihost_utils.broadcast_one_to_all(mine)
 assert int(step) == 1000, int(step)
 assert np.allclose(np.asarray(theirs["a"]), 0.0), theirs
-print("MULTIHOST_OK", pid, flush=True)
+sys.stdout.write(f"MULTIHOST_OK {pid}\n")
+sys.stdout.flush()
 """
 
 
@@ -78,19 +79,22 @@ def test_two_process_distributed_mesh(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     port = _free_port()
+    # stderr is captured SEPARATELY: gloo logs raw writes to fd 2, and with
+    # a merged pipe those can interleave mid-token with Python's stdout
+    # buffer flushes (observed: "MULTIHOST_OK[Gloo] Rank 0 ...\n 0")
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(port), str(pid)],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd="/root/repo") for pid in (0, 1)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
-            outs.append(out)
+            out, err = p.communicate(timeout=300)
+            outs.append((out, err))
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out}"
-        assert f"MULTIHOST_OK {pid}" in out, out
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}\n{err}"
+        assert f"MULTIHOST_OK {pid}" in out, f"{out}\n{err}"
