@@ -95,9 +95,8 @@ def _load_npz_params(path):
 
 
 def _save_npz_params(params, path):
-    flat = {f"{layer}/{field}": np.asarray(v)
-            for layer, d in params.items() for field, v in d.items()}
-    np.savez(path, **flat)
+    from yolo_tensorflow_tpu.io.checkpoint import save_params_npz
+    save_params_npz(params, path)
 
 
 def cmd_detect(args):
@@ -870,6 +869,14 @@ def main(argv=None):
                         "recompute the rest (jax.checkpoint) — ~N-fold "
                         "lower activation HBM for one extra forward's "
                         "FLOPs; lets batch size grow past plain backprop")
+    p.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: convs train against "
+                        "the int8 serving lattice (fake-quant + STE, "
+                        "ops/qat.py) with activation scales EMA-tracked in "
+                        "the step; saves an int8-qat.npz next to the "
+                        "checkpoints that detect/eval/stream load like any "
+                        "quantize output. Resuming a float checkpoint "
+                        "fine-tunes it quantization-aware")
     p.add_argument("--bn-onepass", action="store_true",
                    help="one-pass BN batch stats (var = E[x^2]-E[x]^2): "
                         "mean and variance become sibling reductions XLA "

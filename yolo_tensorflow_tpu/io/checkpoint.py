@@ -58,6 +58,14 @@ def load_pytree_npz(template, path: str):
         jax.tree_util.tree_structure(template), leaves)
 
 
+def save_params_npz(params: Dict, path: str) -> None:
+    """Flat 'layer/field' npz — the CLI's params interchange format
+    (convert/quantize outputs, detect/eval inputs)."""
+    flat = {f"{layer}/{field}": np.asarray(v)
+            for layer, d in params.items() for field, v in d.items()}
+    np.savez(path, **flat)
+
+
 def save_train_state(state, ckpt_dir: str, step: int, *, keep: int = 3) -> str:
     """Write <dir>/ckpt-<step>.npz (+ latest pointer); prune old ones —
     the .backup/periodic-save behavior of detector.c:132-143."""

@@ -49,7 +49,7 @@ def _bn_stats(batch_stats, key):
 def apply(specs, params, x, *, train: bool = False, batch_stats=None,
           bn_eps: float = 1e-5, compute_dtype=None, dropout_rng=None,
           bn_formula: str = "darknet", time_steps: int = 1,
-          rec_state=None, bn_stats: str = "twopass"):
+          rec_state=None, bn_stats: str = "twopass", qat_scales=None):
     """Run the network.
 
     Args:
@@ -80,17 +80,26 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         recurrent layer is returned in aux["rec_state"] so stateful
         generation threads it functionally (darknet mutates l.state
         in place instead).
+      qat_scales: {layer_key: activation scale} enables fake-quantized
+        convs on the int8 serving grid (ops/qat.py) for the listed layers:
+        the conv input and weight are round/clip/rescaled with
+        straight-through gradients, and the observed input abs-max is
+        returned in aux["act_ranges"] for the EMA scale update. A zero
+        scale self-calibrates from the current batch. QAT convs compute in
+        f32 (the fake-quant lattice IS the narrowing; compute_dtype still
+        applies to unquantized layers).
 
     Returns:
       (detections, aux): ``detections`` is a list of (feature_map, Detect spec)
       for every Detect marker, in spec order; ``aux`` is a dict with
-      "batch_stats" updates when train=True and "rec_state" when the spec
-      has recurrent layers.
+      "batch_stats" updates when train=True, "rec_state" when the spec
+      has recurrent layers, and "act_ranges" when qat_scales is given.
     """
     outputs = []
     detections = []
     new_stats: Dict[str, Any] = {}
     rec_out: Dict[str, Any] = {}
+    act_ranges: Dict[str, Any] = {}
 
     def fetch(ref, i):
         r = S.resolve_ref(ref, i)
@@ -101,6 +110,24 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         if isinstance(spec, S.Conv):
             p = params[layer_key(i)]
             pad = None if spec.pad < 0 else spec.pad
+            qsc = (None if qat_scales is None
+                   else qat_scales.get(layer_key(i)))
+            w_in, cd, odt = p.get("w"), compute_dtype, compute_dtype
+            if qsc is not None and "w_q" not in p:
+                # QAT (ops/qat.py): input+weight snapped to the int8
+                # serving lattice with STE gradients; observed input range
+                # feeds the EMA scale update. f32 compute — the lattice is
+                # the narrowing.
+                from yolo_tensorflow_tpu.ops import qat as Q
+                xin = cur.astype(jnp.float32)
+                r = jnp.max(jnp.abs(xin))
+                act_ranges[layer_key(i)] = r
+                s_eff = jnp.where(
+                    qsc > 0, qsc,
+                    jnp.maximum(jax.lax.stop_gradient(r), 1e-6) / 127.0)
+                cur = Q.fake_quant(xin, s_eff)
+                w_in = Q.fake_quant_weights(p["w"].astype(jnp.float32))
+                cd = odt = None
             if "w_q" in p:
                 # int8 serving path (ops/quant.py): ~1.4x bf16 e2e on v5e
                 # (shape-dependent; see PERF_INT8.md).
@@ -117,9 +144,9 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                 # (stats are still f32 inside batch_norm_train); only the
                 # bias/head convs below upcast, keeping the loss's raw
                 # logits f32
-                cur = L.conv2d(cur, p["w"], None, stride=spec.stride,
-                               pad=pad, compute_dtype=compute_dtype,
-                               train=train, out_dtype=compute_dtype)
+                cur = L.conv2d(cur, w_in, None, stride=spec.stride,
+                               pad=pad, compute_dtype=cd,
+                               train=train, out_dtype=odt)
                 if train:
                     cur, m, v = L.batch_norm_train(cur, p["gamma"], p["beta"],
                                                    bn_eps, stats=bn_stats)
@@ -131,8 +158,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                         bn_eps, formula=bn_formula)
             else:
                 # folded or bias-only conv
-                cur = L.conv2d(cur, p["w"], p["b"], stride=spec.stride,
-                               pad=pad, compute_dtype=compute_dtype,
+                cur = L.conv2d(cur, w_in, p["b"], stride=spec.stride,
+                               pad=pad, compute_dtype=cd,
                                train=train)
             cur = _activate(cur, spec.act)
             if compute_dtype is not None and not train:
@@ -281,6 +308,8 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
     aux = {"batch_stats": new_stats} if train else {}
     if rec_out:
         aux["rec_state"] = rec_out
+    if act_ranges:
+        aux["act_ranges"] = act_ranges
     return detections, aux
 
 

@@ -30,6 +30,10 @@ class TrainState(NamedTuple):
     opt_state: Any
     step: jax.Array
     rng: jax.Array
+    # QAT activation scales {layer_key: f32 scalar} (ops/qat.py), or None
+    # for ordinary float training. A NamedTuple default keeps every
+    # pre-QAT construction site and checkpoint layout valid unchanged.
+    qat_scales: Any = None
 
 
 def darknet_lr_schedule(base_lr: float, *, burn_in: int = 1000,
@@ -242,14 +246,18 @@ def optimizer_from_net(opts: "NetTrainOptions", *, batch: Optional[int] =
 
 def create_train_state(cfg: C.ModelConfig, tx, rng, *,
                        input_size: Optional[int] = None,
-                       specs=None) -> TrainState:
+                       specs=None, qat: bool = False) -> TrainState:
     specs = C.build_specs(cfg) if specs is None else specs
     size = input_size or cfg.input_size
     params, batch_stats = engine.init_params(
         specs, (1, size, size, 3), rng, folded=False)
+    qat_scales = None
+    if qat:
+        from yolo_tensorflow_tpu.ops import qat as Q
+        qat_scales = Q.init_scales(specs)
     return TrainState(params=params, batch_stats=batch_stats,
                       opt_state=tx.init(params), step=jnp.int32(0),
-                      rng=rng)
+                      rng=rng, qat_scales=qat_scales)
 
 
 def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
@@ -298,7 +306,8 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
 def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
                     ignore_thresh: float = 0.5, compute_dtype=None,
                     specs=None, remat_every: Optional[int] = None,
-                    bn_stats: str = "twopass", **loss_kw):
+                    bn_stats: str = "twopass", qat_momentum: float = 0.99,
+                    **loss_kw):
     """Build the pure (state, images_u8, truths) -> (state, metrics) step.
 
     Multi-scale training (darknet's every-10-batches random resize,
@@ -319,13 +328,14 @@ def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
     """
     specs = C.build_specs(cfg) if specs is None else specs
 
-    def forward(params, x, drng):
+    def forward(params, x, drng, qscales):
         dets, aux = engine.apply(specs, params, x, train=True,
                                  bn_eps=cfg.bn_eps,
                                  compute_dtype=compute_dtype,
-                                 dropout_rng=drng, bn_stats=bn_stats)
+                                 dropout_rng=drng, bn_stats=bn_stats,
+                                 qat_scales=qscales)
         return [f.astype(jnp.float32) for f, _ in dets], \
-            aux["batch_stats"]
+            aux["batch_stats"], aux.get("act_ranges", {})
 
     if remat_every:
         saved = [engine.layer_key(i)
@@ -334,29 +344,36 @@ def make_train_step(cfg: C.ModelConfig, tx, *, input_size: Optional[int] = None,
             forward,
             policy=jax.checkpoint_policies.save_only_these_names(*saved))
 
-    def loss_fn(params, batch_stats, images, truths, drng, seen):
+    def loss_fn(params, batch_stats, images, truths, drng, seen, qscales):
         x = normalize_images(images, cfg)
-        raw_scales, new_bn_stats = forward(params, x, drng)
+        raw_scales, new_bn_stats, ranges = forward(params, x, drng, qscales)
         loss, metrics = loss_for_config(
             cfg, specs, raw_scales, truths,
             ignore_thresh=ignore_thresh, input_size=input_size,
             seen=seen, **loss_kw)
-        return loss, (new_bn_stats, metrics)
+        return loss, (new_bn_stats, ranges, metrics)
 
     def train_step(state: TrainState, images, truths):
         rng, drng = jax.random.split(state.rng)
         seen = state.step * images.shape[0]
-        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, images, truths, drng, seen)
+        grads, (new_stats, ranges, metrics) = jax.grad(
+            loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images, truths, drng, seen,
+            state.qat_scales)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         m = cfg.bn_momentum
         batch_stats = jax.tree.map(
             lambda run, new: m * run + (1.0 - m) * new,
             state.batch_stats, new_stats) if new_stats else state.batch_stats
+        qat_scales = state.qat_scales
+        if qat_scales is not None and ranges:
+            from yolo_tensorflow_tpu.ops import qat as Q
+            qat_scales = Q.update_scales(qat_scales, ranges,
+                                         momentum=qat_momentum)
         metrics = dict(metrics, step=state.step)
         return TrainState(params, batch_stats, opt_state,
-                          state.step + 1, rng), metrics
+                          state.step + 1, rng, qat_scales), metrics
 
     return train_step
 

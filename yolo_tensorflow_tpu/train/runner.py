@@ -27,9 +27,18 @@ def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
     from yolo_tensorflow_tpu.io.weights import fold_params
     from yolo_tensorflow_tpu.pipeline import Detector
 
-    folded = fold_params(jax.tree.map(np.asarray, state.params),
-                         jax.tree.map(np.asarray, state.batch_stats),
-                         cfg.bn_eps)
+    if getattr(state, "qat_scales", None):
+        # QAT run: score what will actually ship — the int8 export on the
+        # serving path (the fake-quant lattice it trained against)
+        from yolo_tensorflow_tpu.ops import qat as Q
+        folded = Q.export_int8(
+            specs, jax.tree.map(np.asarray, state.params),
+            jax.tree.map(np.asarray, state.batch_stats),
+            jax.tree.map(np.asarray, state.qat_scales), bn_eps=cfg.bn_eps)
+    else:
+        folded = fold_params(jax.tree.map(np.asarray, state.params),
+                             jax.tree.map(np.asarray, state.batch_stats),
+                             cfg.bn_eps)
     if detector_cache is not None and detector_cache:
         det = detector_cache[0]
         det.params = jax.device_put(jax.tree.map(jnp.asarray, folded))
@@ -232,8 +241,9 @@ def run_training(args):
         batch_size = (args.batch_size
                       if getattr(args, "batch_size", None) is not None
                       else 64)
+    qat = bool(getattr(args, "qat", False))
     state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
-                                 specs=specs)
+                                 specs=specs, qat=qat)
 
     if args.weights:
         load_specs = specs if specs is not None else C.build_specs(cfg)
@@ -260,7 +270,20 @@ def run_training(args):
                 params=jax.tree.map(np.asarray, params),
                 batch_stats=jax.tree.map(np.asarray, stats))
 
-    restored, start_step = ckpt.restore_train_state(state, args.ckpt_dir)
+    try:
+        restored, start_step = ckpt.restore_train_state(state, args.ckpt_dir)
+    except KeyError:
+        if state.qat_scales is None:
+            raise
+        # the float -> QAT fine-tune workflow: the checkpoint predates
+        # --qat, so it has no scales — restore everything else and start
+        # the scales fresh (they re-warm from the first batch)
+        base, start_step = ckpt.restore_train_state(
+            state._replace(qat_scales=None), args.ckpt_dir)
+        restored = None if base is None else \
+            base._replace(qat_scales=state.qat_scales)
+        if restored is not None:
+            print("float checkpoint -> QAT fine-tune (fresh scales)")
     if restored is not None:
         state = restored
         print(f"resumed from step {start_step}")
@@ -377,4 +400,19 @@ def run_training(args):
                     break
     if jax.process_index() == 0:
         ckpt.save_train_state(state, args.ckpt_dir, step_i)
+        if qat and state.qat_scales:
+            # ship the thing that was trained: fold + quantize on the
+            # tracked scales; detect/eval/stream load this npz like any
+            # `quantize` output
+            from yolo_tensorflow_tpu.ops import qat as Q
+            qparams = Q.export_int8(
+                specs if specs is not None else C.build_specs(cfg),
+                jax.tree.map(np.asarray, state.params),
+                jax.tree.map(np.asarray, state.batch_stats),
+                jax.tree.map(np.asarray, state.qat_scales),
+                bn_eps=cfg.bn_eps)
+            out = os.path.join(args.ckpt_dir, "int8-qat.npz")
+            ckpt.save_params_npz(qparams, out)
+            n_q = sum(1 for v in qparams.values() if "w_q" in v)
+            print(f"QAT export: {out} ({n_q} int8 convs)")
     print("done")
