@@ -268,6 +268,38 @@ def main(steps=1200, batch=32, model="yolov3-tiny", hard=False,
                      iou_threshold=0.45, max_detections=10)
     out_q = eval_batched(det_q, "int8 (w8a8)")
     print(f"int8 mAP delta {out_q['map'] - out['map']:+.4f}", flush=True)
+
+    # QAT: fine-tune the SAME trained weights against the int8 lattice
+    # (ops/qat.py), export on the tracked scales, re-evaluate — the PTQ
+    # accuracy price should come back
+    from yolo_tensorflow_tpu.ops import qat as QA
+    ft_steps = max(200, steps // 5)
+    tx_ft = T.make_optimizer(T.darknet_lr_schedule(1e-4, burn_in=20),
+                             weight_decay=5e-4)
+    state_q = T.TrainState(
+        params=state.params, batch_stats=state.batch_stats,
+        opt_state=tx_ft.init(state.params), step=jnp.int32(0),
+        rng=jax.random.PRNGKey(7), qat_scales=QA.init_scales(specs))
+    step_q = jax.jit(T.make_train_step(
+        cfg, tx_ft, input_size=SIZE,
+        compute_dtype=jnp.bfloat16 if hard else None,
+        bn_stats=bn_stats), donate_argnums=(0,))
+    t0 = time.time()
+    for i in range(ft_steps):
+        imgs, tr = pool[i % len(pool)]
+        state_q, mq = step_q(state_q, imgs, tr)
+    print(f"QAT fine-tune: {ft_steps} steps in {time.time()-t0:.0f}s "
+          f"(cost {float(mq['cost']):.2f}, "
+          f"{batch*ft_steps/(time.time()-t0):.0f} img/s)", flush=True)
+    qat_params = QA.export_int8(
+        specs, jax.tree.map(np.asarray, state_q.params),
+        jax.tree.map(np.asarray, state_q.batch_stats),
+        jax.tree.map(np.asarray, state_q.qat_scales), bn_eps=cfg.bn_eps)
+    det_qat = Detector(cfg, params=qat_params, conf_threshold=0.3,
+                       iou_threshold=0.45, max_detections=10)
+    out_qat = eval_batched(det_qat, "int8 (QAT fine-tune)")
+    print(f"QAT int8 mAP delta vs float {out_qat['map'] - out['map']:+.4f}"
+          f", vs PTQ {out_qat['map'] - out_q['map']:+.4f}", flush=True)
     return out["map"]
 
 
