@@ -63,3 +63,22 @@ def test_resume_continues_training(tmp_path):
     for a, b in zip(jax.tree.leaves(s2_direct.params),
                     jax.tree.leaves(s2_resumed.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_checkpoint_has_field(tmp_path):
+    """checkpoint_has_field sees NamedTuple fields the restore template
+    would silently drop (None = empty pytree) — the QAT-resumed-without-
+    --qat detector."""
+    cfg = C.get_config("yolov2-tiny-voc", input_size=64)
+    tx = T.make_optimizer(T.darknet_lr_schedule(1e-3))
+    qstate = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                  input_size=64, qat=True)
+    fstate = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                  input_size=64)
+    qdir, fdir = str(tmp_path / "q"), str(tmp_path / "f")
+    ckpt.save_train_state(qstate, qdir, 1)
+    ckpt.save_train_state(fstate, fdir, 1)
+    assert ckpt.checkpoint_has_field(qdir, "qat_scales")
+    assert not ckpt.checkpoint_has_field(fdir, "qat_scales")
+    assert not ckpt.checkpoint_has_field(str(tmp_path / "nope"),
+                                         "qat_scales")

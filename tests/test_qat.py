@@ -233,3 +233,32 @@ def test_qat_run_training_smoke(tmp_path, capsys):
     run_training(args2)
     out2 = capsys.readouterr().out
     assert "resumed from step 6" in out2
+
+    # resuming the same checkpoint WITHOUT --qat is a silent mode
+    # downgrade (scales dropped, no int8 export) — the runner must say so
+    args3 = argparse.Namespace(**{**vars(args), "steps": 8, "qat": False})
+    run_training(args3)
+    out3 = capsys.readouterr().out
+    assert "WARNING: checkpoint has QAT scales but --qat is off" in out3
+
+
+def test_qat_step_honors_bf16(rng):
+    """--qat --bf16: quantized convs keep the requested compute dtype (MXU
+    bf16 speed) instead of silently forcing exact-f32 convolutions; the
+    step still warms scales and optimizes."""
+    cfg = C.get_config("yolov3-tiny", input_size=SIZE)
+    tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=10),
+                          weight_decay=0)
+    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                 input_size=SIZE, qat=True)
+    step = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                     compute_dtype=jnp.bfloat16))
+    imgs, truths = _tiny_batch(4, rng)
+    state, m = step(state, imgs, truths)
+    assert all(float(v) > 0 for v in state.qat_scales.values())
+    costs = [float(m["cost"])]
+    for _ in range(40):
+        state, m = step(state, imgs, truths)
+        costs.append(float(m["cost"]))
+    assert np.isfinite(costs).all()
+    assert costs[-1] < costs[3], (costs[3], costs[-1])

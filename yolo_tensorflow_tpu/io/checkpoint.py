@@ -83,6 +83,24 @@ def save_train_state(state, ckpt_dir: str, step: int, *, keep: int = 3) -> str:
     return path
 
 
+def checkpoint_has_field(ckpt_dir: str, field: str) -> bool:
+    """True if the newest checkpoint stores any leaf under the named
+    top-level field (e.g. 'qat_scales'). Restoring into a template whose
+    field is None silently drops such leaves (None is an empty pytree), so
+    callers use this to detect — and warn about — a mode downgrade like
+    resuming a QAT checkpoint without --qat."""
+    latest = os.path.join(ckpt_dir, "latest.json")
+    if not os.path.exists(latest):
+        return False
+    with open(latest) as f:
+        meta = json.load(f)
+    # NamedTuple fields flatten as GetAttrKey ('n:'), dict keys as 'k:'
+    tokens = (f"n:{field}", f"k:{field}")
+    with np.load(os.path.join(ckpt_dir, meta["file"])) as data:
+        return any(part in tokens for k in data.files
+                   for part in k.split(_SEP))
+
+
 def restore_train_state(template, ckpt_dir: str):
     """Restore the newest checkpoint; returns (state, step) or (None, 0)."""
     latest = os.path.join(ckpt_dir, "latest.json")

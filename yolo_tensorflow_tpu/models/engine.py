@@ -85,9 +85,11 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
         the conv input and weight are round/clip/rescaled with
         straight-through gradients, and the observed input abs-max is
         returned in aux["act_ranges"] for the EMA scale update. A zero
-        scale self-calibrates from the current batch. QAT convs compute in
-        f32 (the fake-quant lattice IS the narrowing; compute_dtype still
-        applies to unquantized layers).
+        scale self-calibrates from the current batch. The lattice snap
+        runs in f32; the conv itself honors compute_dtype — the operands
+        are already 8-bit-narrow, so bf16 adds only sub-grid rounding
+        (<= scale/4 at the range edge vs the scale-wide bins QAT trains
+        against) while keeping MXU bf16 throughput.
 
     Returns:
       (detections, aux): ``detections`` is a list of (feature_map, Detect spec)
@@ -116,8 +118,9 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
             if qsc is not None and "w_q" not in p:
                 # QAT (ops/qat.py): input+weight snapped to the int8
                 # serving lattice with STE gradients; observed input range
-                # feeds the EMA scale update. f32 compute — the lattice is
-                # the narrowing.
+                # feeds the EMA scale update. The snap is f32-exact; the
+                # conv below keeps the caller's compute_dtype (--qat --bf16
+                # trains quantized layers at MXU bf16 speed).
                 from yolo_tensorflow_tpu.ops import qat as Q
                 xin = cur.astype(jnp.float32)
                 r = jnp.max(jnp.abs(xin))
@@ -127,7 +130,6 @@ def apply(specs, params, x, *, train: bool = False, batch_stats=None,
                     jnp.maximum(jax.lax.stop_gradient(r), 1e-6) / 127.0)
                 cur = Q.fake_quant(xin, s_eff)
                 w_in = Q.fake_quant_weights(p["w"].astype(jnp.float32))
-                cd = odt = None
             if "w_q" in p:
                 # int8 serving path (ops/quant.py): ~1.4x bf16 e2e on v5e
                 # (shape-dependent; see PERF_INT8.md).

@@ -135,12 +135,6 @@ def qat_eval_scales(scales) -> Dict[str, jax.Array]:
     return {k: v for k, v in scales.items() if float(v) > 0}
 
 
-def tree_ranges_like(scales) -> Dict[str, jax.Array]:
-    """Zero ranges matching ``scales`` (for steps that skip QAT, e.g.
-    padding a scan)."""
-    return {k: jnp.float32(0.0) for k in scales}
-
-
 __all__ = ["fake_quant", "fake_quant_weights", "weight_scale",
            "quantizable_layers", "init_scales", "update_scales",
-           "export_int8", "qat_eval_scales", "tree_ranges_like"]
+           "export_int8", "qat_eval_scales"]

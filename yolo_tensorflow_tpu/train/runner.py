@@ -11,6 +11,19 @@ import numpy as np
 MULTISCALE_SIZES = tuple(range(320, 640, 32))  # 320..608 (detector.c:63-71)
 
 
+def qat_export_params(cfg, specs, state):
+    """Fold + quantize a QAT train state onto the int8 serving grid — the
+    ONE recipe shared by the in-loop eval and the final int8-qat.npz
+    export, so the scored network and the shipped artifact cannot
+    diverge."""
+    import jax
+    from yolo_tensorflow_tpu.ops import qat as Q
+    return Q.export_int8(
+        specs, jax.tree.map(np.asarray, state.params),
+        jax.tree.map(np.asarray, state.batch_stats),
+        jax.tree.map(np.asarray, state.qat_scales), bn_eps=cfg.bn_eps)
+
+
 def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
                    detector_cache=None, batch_size=16):
     """In-training mAP eval — validate_detector (examples/detector.c:364)
@@ -30,11 +43,7 @@ def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
     if getattr(state, "qat_scales", None):
         # QAT run: score what will actually ship — the int8 export on the
         # serving path (the fake-quant lattice it trained against)
-        from yolo_tensorflow_tpu.ops import qat as Q
-        folded = Q.export_int8(
-            specs, jax.tree.map(np.asarray, state.params),
-            jax.tree.map(np.asarray, state.batch_stats),
-            jax.tree.map(np.asarray, state.qat_scales), bn_eps=cfg.bn_eps)
+        folded = qat_export_params(cfg, specs, state)
     else:
         folded = fold_params(jax.tree.map(np.asarray, state.params),
                              jax.tree.map(np.asarray, state.batch_stats),
@@ -54,10 +63,12 @@ def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
     return evaluate_detections(dets, gts, cfg.num_classes)
 
 
-def evaluate_classifier(cfg, state, samples, *, limit=0):
+def evaluate_classifier(cfg, state, samples, *, limit=0, specs=None):
     """Top-1 accuracy of the in-training classifier on (path, label)
     samples — the classifier analogue of evaluate_model (the reference's
-    validate_classifier_single, examples/classifier.c)."""
+    validate_classifier_single, examples/classifier.c). Pass ``specs``
+    for arbitrary-cfg (non-registry) classifiers; QAT runs score the int8
+    export, the artifact the run ships."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -66,10 +77,14 @@ def evaluate_classifier(cfg, state, samples, *, limit=0):
     from yolo_tensorflow_tpu.models import engine
     from yolo_tensorflow_tpu.pipeline import normalize_images
 
-    specs = C.build_specs(cfg)
-    folded = fold_params(jax.tree.map(np.asarray, state.params),
-                         jax.tree.map(np.asarray, state.batch_stats),
-                         cfg.bn_eps)
+    if specs is None:
+        specs = C.build_specs(cfg)
+    if getattr(state, "qat_scales", None):
+        folded = qat_export_params(cfg, specs, state)
+    else:
+        folded = fold_params(jax.tree.map(np.asarray, state.params),
+                             jax.tree.map(np.asarray, state.batch_stats),
+                             cfg.bn_eps)
 
     @jax.jit
     def probs_fn(p, images):
@@ -287,6 +302,16 @@ def run_training(args):
     if restored is not None:
         state = restored
         print(f"resumed from step {start_step}")
+        if not qat and ckpt.checkpoint_has_field(args.ckpt_dir,
+                                                 "qat_scales"):
+            # the inverse of the float->QAT path above would be silent:
+            # restoring into a qat_scales=None template just drops the
+            # trained scales and the run downgrades to float training
+            # with no int8-qat.npz at the end — say so loudly
+            print("WARNING: checkpoint has QAT scales but --qat is off — "
+                  "continuing as FLOAT training (trained scales dropped, "
+                  "no int8-qat.npz export); pass --qat to keep the "
+                  "quantization-aware fine-tune", flush=True)
 
     n_proc = jax.process_count()
     if n_proc > 1:
@@ -383,7 +408,7 @@ def run_training(args):
                         and jax.process_index() == 0:
                     if cfg.head == 0:
                         acc = evaluate_classifier(cfg, state, val_samples,
-                                                  limit=200)
+                                                  limit=200, specs=specs)
                         print(f"step {step_i}: val top-1 = {acc:.4f}",
                               flush=True)
                     else:
@@ -404,13 +429,9 @@ def run_training(args):
             # ship the thing that was trained: fold + quantize on the
             # tracked scales; detect/eval/stream load this npz like any
             # `quantize` output
-            from yolo_tensorflow_tpu.ops import qat as Q
-            qparams = Q.export_int8(
-                specs if specs is not None else C.build_specs(cfg),
-                jax.tree.map(np.asarray, state.params),
-                jax.tree.map(np.asarray, state.batch_stats),
-                jax.tree.map(np.asarray, state.qat_scales),
-                bn_eps=cfg.bn_eps)
+            qparams = qat_export_params(
+                cfg, specs if specs is not None else C.build_specs(cfg),
+                state)
             out = os.path.join(args.ckpt_dir, "int8-qat.npz")
             ckpt.save_params_npz(qparams, out)
             n_q = sum(1 for v in qparams.values() if "w_q" in v)
