@@ -731,6 +731,66 @@ def cmd_rnn_train(args):
                                rng_seed=args.rng_seed))
 
 
+def cmd_nightmare(args):
+    """Feature visualization / inversion — the `darknet nightmare` demo
+    (examples/nightmare.c run_nightmare). Dream mode amplifies a layer's
+    strongest activations by gradient ascent on the image; --reconstruct
+    inverts a recorded feature map instead."""
+    import cv2
+    from yolo_tensorflow_tpu import dream as D
+    from yolo_tensorflow_tpu.config import (get_config, build_specs,
+                                            config_from_cfg)
+    from yolo_tensorflow_tpu.io import weights as W
+
+    params = None
+    weights = args.weights
+    if weights and weights.endswith(".npz"):
+        params = _load_npz_params(weights)
+        weights = None
+    if args.cfg:
+        cfg, specs = config_from_cfg(args.cfg, class_names_file=args.names)
+        base = os.path.splitext(os.path.basename(args.cfg))[0]
+    elif args.model:
+        cfg = get_config(args.model)
+        specs = build_specs(cfg)
+        base = args.model
+    else:
+        raise SystemExit("nightmare needs --model or --cfg")
+    if params is None:
+        params, _, _ = W.load_darknet_weights(
+            specs, cfg.input_size, weights, header_ints=None,
+            bn_eps=cfg.bn_eps, fold=True)
+    img = cv2.imread(args.image)
+    if img is None:
+        raise SystemExit(f"cannot read {args.image}")
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    imbase = os.path.splitext(os.path.basename(args.image))[0]
+
+    def save_round(e, out_u8):
+        # the C's <im>_<cfg>_<layer>_%06d naming (nightmare.c:396-401)
+        name = f"{imbase}_{base}_{args.layer}_{e:06d}.jpg"
+        path = os.path.join(args.prefix, name) if args.prefix else name
+        cv2.imwrite(path, cv2.cvtColor(out_u8, cv2.COLOR_RGB2BGR))
+        print(f"{e} {path}", flush=True)
+
+    if args.prefix:
+        os.makedirs(args.prefix, exist_ok=True)
+    if args.reconstruct:
+        D.reconstruct(
+            cfg, specs, params, img, args.layer, rounds=args.rounds,
+            iters=args.iters, rate=args.rate, momentum=args.momentum,
+            lam=args.smooth_lambda if args.smooth else 0.0,
+            smooth_size=args.smooth_size, random_start=args.random_start,
+            seed=args.seed, on_round=save_round, verbose=True)
+    else:
+        D.dream(
+            cfg, specs, params, img, args.layer, rounds=args.rounds,
+            iters=args.iters, octaves=args.octaves, layer_range=args.range,
+            rate=args.rate, thresh=args.thresh, norm=not args.no_norm,
+            zoom=args.zoom, rotate=args.rotate, seed=args.seed,
+            on_round=save_round, verbose=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="yolo_tensorflow_tpu")
     ap.add_argument("--platform", choices=("cpu", "tpu", "axon"),
@@ -1062,6 +1122,46 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.7)
     p.add_argument("--rng-seed", type=int, default=0)
     p.set_defaults(fn=cmd_rnn_train)
+
+    p = sub.add_parser("nightmare",
+                       help="feature visualization / inversion — deep-dream"
+                            " gradient ascent (examples/nightmare.c)")
+    p.add_argument("--model", choices=MODEL_NAMES,
+                   help="registry model (or --cfg for any darknet cfg)")
+    p.add_argument("--cfg", help="arbitrary darknet .cfg file")
+    p.add_argument("--names", help="class-names file (for --cfg)")
+    p.add_argument("--weights", required=True,
+                   help="darknet .weights or .npz checkpoint")
+    p.add_argument("--image", required=True)
+    p.add_argument("--layer", type=int, required=True,
+                   help="spec index to amplify (see the `summary` table)")
+    p.add_argument("--rounds", type=int, default=1)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--octaves", type=int, default=4)
+    p.add_argument("--range", type=int, default=1,
+                   help="randomize the layer +-range/2 per iteration")
+    p.add_argument("--rate", type=float, default=0.04)
+    p.add_argument("--thresh", type=float, default=1.0,
+                   help="amplify activations above mean + thresh*sigma")
+    p.add_argument("--zoom", type=float, default=1.0)
+    p.add_argument("--rotate", type=float, default=0.0,
+                   help="degrees rotated between rounds")
+    p.add_argument("--momentum", type=float, default=0.9,
+                   help="update momentum (--reconstruct mode)")
+    p.add_argument("--no-norm", action="store_true",
+                   help="skip the update normalization (-norm 0)")
+    p.add_argument("--reconstruct", action="store_true",
+                   help="feature inversion instead of dream ascent")
+    p.add_argument("--random-start", action="store_true",
+                   help="reconstruct from noise instead of the image")
+    p.add_argument("--smooth", action="store_true",
+                   help="enable the window-smoothness regularizer "
+                        "(the C ships it commented out)")
+    p.add_argument("--smooth-lambda", type=float, default=0.01)
+    p.add_argument("--smooth-size", type=int, default=1)
+    p.add_argument("--prefix", help="output directory")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_nightmare)
 
     args = ap.parse_args(argv)
     if args.platform:
