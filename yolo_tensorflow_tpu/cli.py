@@ -791,6 +791,191 @@ def cmd_nightmare(args):
             on_round=save_round, verbose=True)
 
 
+def _cfg_specs_only(args):
+    """(cfg, specs) from --model or --cfg, no weights."""
+    if getattr(args, "cfg", None):
+        from yolo_tensorflow_tpu.config import config_from_cfg
+        return config_from_cfg(args.cfg,
+                               class_names_file=getattr(args, "names", None))
+    if getattr(args, "model", None):
+        from yolo_tensorflow_tpu.config import build_specs, get_config
+        cfg = get_config(args.model)
+        return cfg, build_specs(cfg)
+    raise SystemExit("need --model or --cfg")
+
+
+def _params_or_init(args, cfg, specs, *, folded=True):
+    """Weights if given, else a random init — the C's load_network with
+    an optional weightfile (parse_network_cfg leaves random weights)."""
+    import jax
+    import numpy as np
+    from yolo_tensorflow_tpu.io import weights as W
+    from yolo_tensorflow_tpu.models import engine
+    if getattr(args, "weights", None):
+        if args.weights.endswith(".npz"):
+            return _load_npz_params(args.weights), {}
+        p, s, _ = W.load_darknet_weights(specs, cfg.input_size,
+                                         args.weights, fold=folded,
+                                         bn_eps=cfg.bn_eps)
+        return p, s
+    p, s = engine.init_params(specs, (1, cfg.input_size, cfg.input_size, 3),
+                              jax.random.PRNGKey(0), folded=folded)
+    return (jax.tree.map(np.asarray, p),
+            jax.tree.map(np.asarray, s) if s else {})
+
+
+def cmd_ops(args):
+    """FLOP count — darknet `ops` (operations, examples/darknet.c:135):
+    the C's numops rule (conv/connected/rnn/gru/lstm only; `summary` has
+    the fuller per-layer accounting)."""
+    from yolo_tensorflow_tpu.utils.netviz import numops
+    cfg, specs = _cfg_specs_only(args)
+    ops = numops(specs, args.input_size or cfg.input_size)
+    print(f"Floating Point Operations: {ops}")
+    print(f"Floating Point Operations: {ops / 1e9:.2f} Bn")
+
+
+def cmd_speed(args):
+    """Timed forward evals — darknet `speed` (examples/darknet.c:115):
+    batch-1 network_predict on a blank image, default 1000 tics. Each
+    eval here is one jit dispatch with a blocking readback (the per-call
+    cost a serial client pays; `bench` measures pipelined throughput)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from yolo_tensorflow_tpu.models import engine
+    from yolo_tensorflow_tpu.utils.netviz import numops
+    cfg, specs = _cfg_specs_only(args)
+    tics = args.tics or 1000
+    params, _ = _params_or_init(args, cfg, specs, folded=True)
+
+    @jax.jit
+    def fwd(p, x):
+        dets, _ = engine.apply(specs, p, x, bn_eps=cfg.bn_eps)
+        return [d for d, _ in dets]
+
+    x = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+    outs = fwd(params, x)
+    jax.block_until_ready(outs)          # compile outside the clock
+    t0 = time.time()
+    for _ in range(tics):
+        jax.block_until_ready(fwd(params, x))
+    t = time.time() - t0
+    ops = numops(specs, cfg.input_size)
+    print(f"\n{tics} evals, {t:f} Seconds")
+    print(f"Floating Point Operations: {ops / 1e9:.2f} Bn")
+    print(f"FLOPS: {ops / 1e9 * tics / t:.2f} Bn")
+    print(f"Speed: {t / tics:f} sec/eval")
+    print(f"Speed: {tics / t:f} Hz")
+
+
+def cmd_print(args):
+    """Dump one conv layer's filters — darknet `print` (print_weights,
+    examples/darknet.c:190): one line per output filter, darknet (c,h,w)
+    order, %g formatting."""
+    from yolo_tensorflow_tpu.models import engine
+    from yolo_tensorflow_tpu.utils.netviz import conv_weight_rows
+    cfg, specs = _cfg_specs_only(args)
+    params, _ = _params_or_init(args, cfg, specs, folded=True)
+    key = engine.layer_key(args.layer)
+    if key not in params or "w" not in params[key]:
+        raise SystemExit(f"layer {args.layer} has no weights")
+    for row in conv_weight_rows(params[key]["w"]):
+        print(" ".join(f"{v:g}" for v in row) + " ")
+
+
+def cmd_statistics(args):
+    """Weight statistics for BN'd connected/GRU layers — darknet
+    `statistics` (statistics_net, examples/darknet.c:305)."""
+    from yolo_tensorflow_tpu.utils.netviz import statistics_lines
+    cfg, specs = _cfg_specs_only(args)
+    params, _ = _params_or_init(args, cfg, specs, folded=False)
+    for line in statistics_lines(specs, params):
+        print(line)
+
+
+def cmd_visualize(args):
+    """Save per-conv filter grids — darknet `visualize`
+    (visualize_network, src/network.c:477; the C opens windows, this
+    writes 'Layer <i>.png' mosaics)."""
+    import cv2
+    import numpy as np
+    from yolo_tensorflow_tpu.utils.netviz import visualize_network
+    cfg, specs = _cfg_specs_only(args)
+    params, _ = _params_or_init(args, cfg, specs, folded=True)
+    os.makedirs(args.prefix, exist_ok=True)
+    for i, grid in visualize_network(specs, params).items():
+        path = os.path.join(args.prefix, f"Layer {i}.png")
+        img = (np.clip(grid, 0, 1) * 255 + 0.5).astype(np.uint8)
+        if img.shape[-1] == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, img)
+        print(path)
+
+
+def cmd_mkimg(args):
+    """Collages ghost-pasted from first-conv filters — darknet `mkimg`
+    (examples/darknet.c:375)."""
+    import cv2
+    import numpy as np
+    from yolo_tensorflow_tpu.utils.netviz import mkimg
+    cfg, specs = _cfg_specs_only(args)
+    params, _ = _params_or_init(args, cfg, specs, folded=True)
+    os.makedirs(args.prefix, exist_ok=True)
+    imgs = mkimg(specs, params, args.height, args.width, args.num,
+                 seed=args.seed)
+    for z, im in enumerate(imgs):
+        path = os.path.join(args.prefix, f"gen_{z}.png")
+        cv2.imwrite(path, cv2.cvtColor(
+            (im * 255 + 0.5).astype(np.uint8), cv2.COLOR_RGB2BGR))
+        print(path)
+
+
+def cmd_imtest(args):
+    """Image-op self test — darknet `imtest` (test_resize,
+    src/image.c:1392): prints the L2 norm, writes the gray + four fixed
+    HSV-distorted variants (the interactive loop needs a display)."""
+    import cv2
+    import numpy as np
+    from yolo_tensorflow_tpu.utils.netviz import imtest_images
+    img = cv2.imread(args.image)
+    if img is None:
+        raise SystemExit(f"cannot read {args.image}")
+    im = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    mag, outs = imtest_images(im)
+    print(f"L2 Norm: {mag:f}")
+    os.makedirs(args.prefix, exist_ok=True)
+    for name, out in outs.items():
+        path = os.path.join(args.prefix, f"{name}.png")
+        u8 = (np.clip(out, 0, 1) * 255 + 0.5).astype(np.uint8)
+        if u8.shape[-1] == 1:
+            u8 = u8[..., 0]
+        else:
+            u8 = cv2.cvtColor(u8, cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, u8)
+        print(path)
+
+
+def cmd_3d(args):
+    """Stereo composite — darknet `3d` (composite_3d, src/image.c:909):
+    align the second image by vertical shift, overlay the first's red
+    channel (anaglyph)."""
+    import cv2
+    import numpy as np
+    from yolo_tensorflow_tpu.utils.netviz import composite_3d
+    a = cv2.imread(args.image_a)
+    b = cv2.imread(args.image_b)
+    if a is None or b is None:
+        raise SystemExit("cannot read input images")
+    af = cv2.cvtColor(a, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    bf = cv2.cvtColor(b, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    shift, comp = composite_3d(af, bf, delta=args.delta)
+    print(shift)
+    cv2.imwrite(args.out, cv2.cvtColor(
+        (comp * 255 + 0.5).astype(np.uint8), cv2.COLOR_RGB2BGR))
+    print(args.out)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="yolo_tensorflow_tpu")
     ap.add_argument("--platform", choices=("cpu", "tpu", "axon"),
@@ -1162,6 +1347,68 @@ def main(argv=None):
     p.add_argument("--prefix", help="output directory")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_nightmare)
+
+    def _net_tool(name, help_, weights=True):
+        q = sub.add_parser(name, help=help_)
+        q.add_argument("--model", choices=MODEL_NAMES)
+        q.add_argument("--cfg", help="arbitrary darknet .cfg")
+        q.add_argument("--names", help="class-names file (with --cfg)")
+        if weights:
+            q.add_argument("--weights",
+                           help=".weights/.npz (default: random init, "
+                                "like the C's parse-only load)")
+        return q
+
+    p = _net_tool("ops", "FLOP count (darknet 'ops' / numops)",
+                  weights=False)
+    p.add_argument("--input-size", type=int, default=None)
+    p.set_defaults(fn=cmd_ops)
+
+    p = _net_tool("speed",
+                  "timed batch-1 forward evals (darknet 'speed')")
+    p.add_argument("--tics", type=int, default=1000)
+    p.set_defaults(fn=cmd_speed)
+
+    p = _net_tool("print",
+                  "dump a conv layer's filters (darknet 'print')")
+    p.add_argument("--layer", type=int, required=True,
+                   help="spec index (see `summary`)")
+    p.set_defaults(fn=cmd_print)
+
+    p = _net_tool("statistics",
+                  "weight statistics for BN'd connected/GRU layers "
+                  "(darknet 'statistics')")
+    p.set_defaults(fn=cmd_statistics)
+
+    p = _net_tool("visualize",
+                  "save per-conv filter grid mosaics "
+                  "(darknet 'visualize')")
+    p.add_argument("--prefix", default=".", help="output directory")
+    p.set_defaults(fn=cmd_visualize)
+
+    p = _net_tool("mkimg",
+                  "collages ghost-pasted from first-conv filters "
+                  "(darknet 'mkimg')")
+    p.add_argument("--height", type=int, default=416)
+    p.add_argument("--width", type=int, default=416)
+    p.add_argument("--num", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--prefix", default=".", help="output directory")
+    p.set_defaults(fn=cmd_mkimg)
+
+    p = sub.add_parser("imtest",
+                       help="image-op self test (darknet 'imtest')")
+    p.add_argument("--image", required=True)
+    p.add_argument("--prefix", default=".", help="output directory")
+    p.set_defaults(fn=cmd_imtest)
+
+    p = sub.add_parser("3d",
+                       help="stereo anaglyph composite (darknet '3d')")
+    p.add_argument("image_a")
+    p.add_argument("image_b")
+    p.add_argument("--delta", type=int, default=0)
+    p.add_argument("--out", default="out.png")
+    p.set_defaults(fn=cmd_3d)
 
     args = ap.parse_args(argv)
     if args.platform:
