@@ -876,7 +876,7 @@ def cmd_print(args):
     from yolo_tensorflow_tpu.models import engine
     from yolo_tensorflow_tpu.utils.netviz import conv_weight_rows
     cfg, specs = _cfg_specs_only(args)
-    params, _ = _params_or_init(args, cfg, specs, folded=True)
+    params, _ = _params_or_init(args, cfg, specs, folded=False)
     key = engine.layer_key(args.layer)
     if key not in params or "w" not in params[key]:
         raise SystemExit(f"layer {args.layer} has no weights")
@@ -902,7 +902,7 @@ def cmd_visualize(args):
     import numpy as np
     from yolo_tensorflow_tpu.utils.netviz import visualize_network
     cfg, specs = _cfg_specs_only(args)
-    params, _ = _params_or_init(args, cfg, specs, folded=True)
+    params, _ = _params_or_init(args, cfg, specs, folded=False)
     os.makedirs(args.prefix, exist_ok=True)
     for i, grid in visualize_network(specs, params).items():
         path = os.path.join(args.prefix, f"Layer {i}.png")
@@ -920,7 +920,7 @@ def cmd_mkimg(args):
     import numpy as np
     from yolo_tensorflow_tpu.utils.netviz import mkimg
     cfg, specs = _cfg_specs_only(args)
-    params, _ = _params_or_init(args, cfg, specs, folded=True)
+    params, _ = _params_or_init(args, cfg, specs, folded=False)
     os.makedirs(args.prefix, exist_ok=True)
     imgs = mkimg(specs, params, args.height, args.width, args.num,
                  seed=args.seed)
