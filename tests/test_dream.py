@@ -75,6 +75,27 @@ def test_dream_rejects_octaves_over_dense_prefix():
                    if isinstance(sp, S.Dense))
     with pytest.raises(ValueError, match="fully-convolutional"):
         D.dream(cfg, specs, {}, _image(), layer=dense_i, octaves=4)
+    # the layer-range jitter can REACH the dense layer from below the
+    # checked target — the guard must cover the jitter window too
+    with pytest.raises(ValueError, match="fully-convolutional"):
+        D.dream(cfg, specs, {}, _image(), layer=dense_i - 2, octaves=4,
+                layer_range=6)
+    # fixed-size prefix at octaves=1 demands an exactly net-sized image
+    with pytest.raises(ValueError, match="must be exactly"):
+        D.dream(cfg, specs, {}, _image(), layer=dense_i, octaves=1)
+
+
+def test_dream_and_reconstruct_iters0_no_crash(model):
+    """iters=0 must behave like the C's zero-trip loop (save the input),
+    not crash on the verbose round summary."""
+    cfg, specs, params = model
+    img = _image(9)
+    out, hist = D.dream(cfg, specs, params, img, layer=2, rounds=1,
+                        iters=0, octaves=1, verbose=True)
+    assert hist == [] and np.array_equal(out, img)
+    final, mags = D.reconstruct(cfg, specs, params, img, 2, rounds=0,
+                                iters=2, verbose=True)
+    assert mags == []
 
 
 def test_reconstruct_descends_feature_distance(model):

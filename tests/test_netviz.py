@@ -31,6 +31,38 @@ def test_numops_matches_hand_count():
     assert got == conv + dense + rnn + gru + lstm
 
 
+def test_numops_agrees_with_count_flops_on_counted_types():
+    """numops is the C-counted subset of the ONE layer_flops arithmetic;
+    on a net with only counted types the two are equal."""
+    specs = (S.Conv(8, 3, stride=2, bn=True), S.MaxPool(2, 2),
+             S.TransposeFlatten(), S.Dense(10, act="linear"))
+    assert V.numops(specs, 64) == int(engine.count_flops(
+        specs, (1, 64, 64, 3)))
+
+
+def test_mkimg_rejects_too_small_canvas():
+    specs = (S.Conv(6, 3, stride=1, bn=True), S.Detect(()))
+    params, _ = engine.init_params(specs, (1, 32, 32, 3),
+                                   jax.random.PRNGKey(3), folded=True)
+    with pytest.raises(ValueError, match="must exceed"):
+        V.mkimg(specs, jax.tree.map(np.asarray, params), 3, 3, 1)
+
+
+def test_composite_3d_bounds_truncate_toward_zero():
+    """C's -a.h/100 truncates toward zero: a 250-row image searches
+    [-2, 2], never -3 (a Python -h//100 floor would widen the bound and
+    find the out-of-range -3 here)."""
+    rng = np.random.default_rng(6)
+    a = rng.random((250, 20, 3)).astype(np.float32)
+    b = V.crop_image(a, 0, 3, 20, 250)     # true alignment shift is -3
+    shift, _ = V.composite_3d(a, b)
+    assert shift >= -2                      # clamped to the C's range
+    # and the in-range true shift is still found exactly
+    b2 = V.crop_image(a, 0, 2, 20, 250)
+    shift2, _ = V.composite_3d(a, b2)
+    assert shift2 == -2
+
+
 def test_numops_skips_uncounted_types_like_the_c():
     """The C's numops type switch has no LOCAL/DECONV/CRNN arms — those
     layers contribute zero (darknet.c:80-113)."""
@@ -267,6 +299,12 @@ def test_cli_ops_speed_print_statistics(tmp_path, capsys):
     cli.main(["statistics", "--cfg", _write_stat_cfg(tmp_path)])
     out = capsys.readouterr().out
     assert "Connected Layer" in out and "MSE:" in out
+
+    # npz checkpoints are BN-folded; the raw-weights commands must refuse
+    # them instead of silently showing folded values
+    with pytest.raises(SystemExit, match="unfolded"):
+        cli.main(["statistics", "--cfg", _write_stat_cfg(tmp_path),
+                  "--weights", "whatever.npz"])
 
 
 def _write_stat_cfg(tmp_path):

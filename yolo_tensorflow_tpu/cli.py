@@ -813,6 +813,14 @@ def _params_or_init(args, cfg, specs, *, folded=True):
     from yolo_tensorflow_tpu.models import engine
     if getattr(args, "weights", None):
         if args.weights.endswith(".npz"):
+            if not folded:
+                # every npz this repo writes stores FOLDED serving params;
+                # the raw-weights commands (print/statistics/visualize/
+                # mkimg) would silently show BN-folded values
+                raise SystemExit(
+                    "this command reads raw (unfolded) weights like the C;"
+                    " npz checkpoints store BN-folded serving params —"
+                    " pass the darknet .weights file instead")
             return _load_npz_params(args.weights), {}
         p, s, _ = W.load_darknet_weights(specs, cfg.input_size,
                                          args.weights, fold=folded,

@@ -123,12 +123,26 @@ def dream(cfg, specs, params, image_u8: np.ndarray, layer: int, *,
 
     u = image_u8.astype(np.float32) / 255.0  # darknet [0,1] HWC RGB image
     h, w = u.shape[:2]
-    if octaves > 1 and any(isinstance(sp, (S.Dense, S.TransposeFlatten))
-                           for sp in specs[:layer + 1]):
+    # fixed-input-size layers break octave rescaling; check the whole
+    # prefix the per-iteration layer jitter can reach (li can exceed
+    # `layer` by layer_range - 1 - layer_range//2)
+    hi = layer + (layer_range - 1 - layer_range // 2
+                  if layer_range > 1 else 0)
+    hi = min(max(hi, layer), len(specs) - 1)
+    FIXED_SIZE = (S.Dense, S.TransposeFlatten, S.Local, S.Crop)
+    if octaves > 1 and any(isinstance(sp, FIXED_SIZE)
+                           for sp in specs[:hi + 1]):
         raise ValueError(
             "octave rescaling needs a fully-convolutional prefix; a Dense/"
-            "flatten layer fixes the input size — pass octaves=1 or a "
-            "shallower --layer (the C's resize_network has the same limit)")
+            "flatten/local/crop layer fixes the input size — pass "
+            "octaves=1 or a shallower --layer (the C's resize_network has "
+            "the same limit)")
+    if any(isinstance(sp, FIXED_SIZE) for sp in specs[:hi + 1]) \
+            and (h, w) != (cfg.input_size, cfg.input_size):
+        raise ValueError(
+            f"the target prefix contains a fixed-input-size layer, so the "
+            f"image must be exactly {cfg.input_size}x{cfg.input_size} "
+            f"(got {w}x{h}) — resize it first")
     rng = np.random.default_rng(seed)
     steps: Dict[int, object] = {}
     history = []
@@ -165,7 +179,7 @@ def dream(cfg, specs, params, image_u8: np.ndarray, layer: int, *,
             if norm:
                 out = (out - out.mean()) / max(float(out.std()), 1e-12)
             u = np.clip(u + rate * out, 0.0, 1.0)
-        if verbose:
+        if verbose and history:
             print(f"round {e}: objective {history[-1]:.4g}", flush=True)
         if on_round is not None:
             on_round(e, (u * 255.0 + 0.5).astype(np.uint8))
@@ -272,7 +286,7 @@ def reconstruct(cfg, specs, params, image_u8: np.ndarray, layer: int, *,
     for e in range(rounds):
         u, upd, mags = run(params, u, upd, feats)
         mags_all.extend(float(m) for m in np.asarray(mags))
-        if verbose:
+        if verbose and mags_all:
             print(f"round {e}: mag {mags_all[-1]:.4g}", flush=True)
         if on_round is not None:
             img = (np.asarray(u[0]) * 255.0 + 0.5).astype(np.uint8)

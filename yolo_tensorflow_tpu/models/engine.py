@@ -390,6 +390,39 @@ def infer_shapes(specs, input_shape) -> list:
     return shapes
 
 
+def layer_flops(spec, shape, prev) -> float:
+    """Forward FLOPs (multiply+add = 2) of one layer given its output
+    ``shape`` and input ``prev`` shape — the ONE statement of each
+    layer's arithmetic, shared by count_flops and the darknet `ops`
+    command's numops subset (utils/netviz.py)."""
+    if isinstance(spec, S.Conv):
+        _, oh, ow, co = shape
+        return 2.0 * oh * ow * co * prev[3] * spec.size * spec.size
+    if isinstance(spec, S.Dense):
+        return 2.0 * prev[1] * spec.units
+    if isinstance(spec, S.Local):
+        _, oh, ow, co = shape
+        return 2.0 * oh * ow * co * prev[3] * spec.size * spec.size
+    if isinstance(spec, S.Deconv):
+        _, oh, ow, co = shape
+        return 2.0 * prev[1] * prev[2] * co * prev[3] \
+            * spec.size * spec.size
+    if isinstance(spec, S.Rnn):
+        o = spec.output
+        return 2.0 * (prev[1] * o + 2 * o * o)
+    if isinstance(spec, S.Gru):
+        o = spec.output
+        return 2.0 * (3 * prev[1] * o + 3 * o * o)
+    if isinstance(spec, S.Lstm):
+        o = spec.output
+        return 2.0 * (4 * prev[1] * o + 4 * o * o)
+    if isinstance(spec, S.Crnn):
+        _, oh, ow, _ = shape
+        hf, of = spec.hidden_filters, spec.output_filters
+        return 2.0 * oh * ow * 9 * (prev[3] * hf + hf * hf + hf * of)
+    return 0.0
+
+
 def count_flops(specs, input_shape) -> float:
     """Total forward FLOPs (multiply+add = 2), comparable to the BFLOP
     column darknet prints (e.g. YOLO_V2/.../yolov2.txt)."""
@@ -397,32 +430,7 @@ def count_flops(specs, input_shape) -> float:
     total = 0.0
     prev = tuple(input_shape)
     for i, spec in enumerate(specs):
-        if isinstance(spec, S.Conv):
-            _, oh, ow, co = shapes[i]
-            ci = prev[3]
-            total += 2.0 * oh * ow * co * ci * spec.size * spec.size
-        elif isinstance(spec, S.Dense):
-            total += 2.0 * prev[1] * spec.units
-        elif isinstance(spec, S.Local):
-            _, oh, ow, co = shapes[i]
-            total += 2.0 * oh * ow * co * prev[3] * spec.size * spec.size
-        elif isinstance(spec, S.Deconv):
-            _, oh, ow, co = shapes[i]
-            total += 2.0 * prev[1] * prev[2] * co * prev[3] \
-                * spec.size * spec.size
-        elif isinstance(spec, S.Rnn):
-            o = spec.output
-            total += 2.0 * (prev[1] * o + 2 * o * o)
-        elif isinstance(spec, S.Gru):
-            o = spec.output
-            total += 2.0 * (3 * prev[1] * o + 3 * o * o)
-        elif isinstance(spec, S.Lstm):
-            o = spec.output
-            total += 2.0 * (4 * prev[1] * o + 4 * o * o)
-        elif isinstance(spec, S.Crnn):
-            _, oh, ow, _ = shapes[i]
-            hf, of = spec.hidden_filters, spec.output_filters
-            total += 2.0 * oh * ow * 9 * (prev[3] * hf + hf * hf + hf * of)
+        total += layer_flops(spec, shapes[i], prev)
         prev = shapes[i]
     return total
 

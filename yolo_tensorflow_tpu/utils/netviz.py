@@ -35,8 +35,8 @@ from yolo_tensorflow_tpu.models import engine, specs as S
 # FLOP accounting (numops, examples/darknet.c:80-113)
 
 def numops(specs, input_size: int, in_channels: int = 3) -> int:
-    """The C's ``numops``: 2*n*k^2*c*out_h*out_w per conv, 2*in*out per
-    connected, and the dense sublayers of rnn (3) / gru (6) / lstm (8).
+    """The C's ``numops``: the shared engine.layer_flops arithmetic summed
+    over ONLY the types the C counts (conv, connected, rnn/gru/lstm).
     Deliberately matches the C's omissions — local, deconvolutional and
     crnn layers are NOT counted (they are absent from numops' type
     switch), so `ops` on such a cfg undercounts exactly like darknet.
@@ -44,21 +44,12 @@ def numops(specs, input_size: int, in_channels: int = 3) -> int:
     shapes = engine.infer_shapes(specs, (1, input_size, input_size,
                                          in_channels))
     prev = (1, input_size, input_size, in_channels)
-    total = 0
+    total = 0.0
     for i, sp in enumerate(specs):
-        shape = shapes[i]
-        if isinstance(sp, S.Conv):
-            _, oh, ow, co = shape
-            total += 2 * co * sp.size * sp.size * prev[3] * oh * ow
-        elif isinstance(sp, S.Dense):
-            total += 2 * prev[1] * sp.units
-        elif isinstance(sp, (S.Rnn, S.Gru, S.Lstm)):
-            in_dim = prev[1] if len(prev) == 2 else 0
-            for _, kind, fan_in, units in S.recurrent_plan(sp, in_dim, 0):
-                if kind == "fc":
-                    total += 2 * fan_in * units
-        prev = shape
-    return total
+        if isinstance(sp, (S.Conv, S.Dense, S.Rnn, S.Gru, S.Lstm)):
+            total += engine.layer_flops(sp, shapes[i], prev)
+        prev = shapes[i]
+    return int(total)
 
 
 # ---------------------------------------------------------------------------
@@ -290,6 +281,11 @@ def mkimg(specs, params, h: int, w: int, num: int,
     ims = filter_images(params[engine.layer_key(first)]["w"])
     if ims[0].shape[-1] != 3:
         raise ValueError("mkimg needs a 3-channel first conv")
+    fs = max(ims[0].shape[:2])
+    if h <= fs or w <= fs:
+        raise ValueError(f"canvas {w}x{h} must exceed the {fs}x{fs} "
+                         f"first-conv filters (the C's rand%(w-r.w) "
+                         f"needs room to place them)")
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(num):
@@ -309,10 +305,9 @@ def mkimg(specs, params, h: int, w: int, num: int,
 
 
 def _rand_scale(rng, s: float) -> float:
-    """rand_scale (src/utils.c): uniform in [1, s], inverted half the
-    time."""
-    scale = float(rng.uniform(1.0, s))
-    return scale if rng.random() < 0.5 else 1.0 / scale
+    """rand_scale (src/utils.c): shared with the training augmenter."""
+    from yolo_tensorflow_tpu.data.augment import _rand_scale as rs
+    return float(rs(rng, s))
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +359,10 @@ def composite_3d(a: np.ndarray, b: np.ndarray,
     is not reproduced. Returns (shift, composite)."""
     if a.shape != b.shape:
         raise ValueError("composite_3d needs same-size images")
-    shift = best_3d_shift_r(a, b, -a.shape[0] // 100, a.shape[0] // 100)
+    # C's -a.h/100 truncates toward zero; Python's -h//100 would floor
+    # one wider for heights not divisible by 100
+    h100 = a.shape[0] // 100
+    shift = best_3d_shift_r(a, b, -h100, h100)
     c = crop_image(b, delta, shift, a.shape[1], a.shape[0]).copy()
     c[..., 0] = a[..., 0]
     return shift, c
