@@ -1,0 +1,146 @@
+"""HTTP micro-batching server (server.py): correctness of the
+batch-coalescing path vs per-image detect, the any-size/oversize routes,
+endpoints, and error handling."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import numpy as np
+import pytest
+
+import jax
+
+from yolo_tensorflow_tpu import config as C
+from yolo_tensorflow_tpu.models import engine
+from yolo_tensorflow_tpu.pipeline import Detector
+from yolo_tensorflow_tpu.server import BatchingDetector, serve_http
+
+SIZE = 64
+
+
+@pytest.fixture(scope="module")
+def detector():
+    cfg = C.get_config("yolov2-tiny-voc", input_size=SIZE)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, SIZE, SIZE, 3),
+                                   jax.random.PRNGKey(11), folded=True)
+    # random weights still emit detections at a low threshold — enough to
+    # compare pipelines
+    return Detector(cfg, params=jax.tree.map(np.asarray, params),
+                    conf_threshold=0.1, max_detections=10,
+                    letterbox=True, fused=True)
+
+
+def _img(seed, h=50, w=70):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+
+
+def test_batcher_requires_fused():
+    cfg = C.get_config("yolov2-tiny-voc", input_size=SIZE)
+    specs = C.build_specs(cfg)
+    params, _ = engine.init_params(specs, (1, SIZE, SIZE, 3),
+                                   jax.random.PRNGKey(0), folded=True)
+    det = Detector(cfg, params=jax.tree.map(np.asarray, params))
+    with pytest.raises(ValueError, match="fused"):
+        BatchingDetector(det)
+
+
+def test_batched_equals_single_detect(detector):
+    """A request through the batcher returns exactly what the fused
+    per-image path returns — padding rows change nothing."""
+    b = BatchingDetector(detector, batch_size=4, max_wait_ms=1.0)
+    try:
+        img = _img(1)
+        got = b.detect(img)
+        want = detector._detect_fused(img)
+        assert got == want
+    finally:
+        b.close()
+
+
+def test_concurrent_requests_coalesce(detector):
+    """N parallel requests inside one window ride fewer device batches
+    than N, and every caller gets its own image's results."""
+    b = BatchingDetector(detector, batch_size=8, max_wait_ms=200.0)
+    try:
+        imgs = [_img(i, 40 + i, 60 + i) for i in range(6)]
+        results = [None] * 6
+
+        def call(i):
+            results[i] = b.detect(imgs[i])
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        snap = b.snapshot()
+        assert snap["requests"] == 6
+        assert snap["batches"] < 6          # coalesced
+        assert snap["mean_batch_occupancy"] > 1
+        for i in range(6):
+            assert results[i] == detector._detect_fused(imgs[i]), i
+    finally:
+        b.close()
+
+
+def test_oversize_image_downscales_with_per_axis_ratios(detector):
+    """Images past max_canvas are host-downscaled; boxes multiply back by
+    per-axis ratios (int() flooring makes x and y differ)."""
+    b = BatchingDetector(detector, batch_size=2, max_wait_ms=1.0,
+                         max_canvas=256)
+    try:
+        img = _img(3, h=301, w=517)        # bucket would be 768
+        res = b.detect(img)
+        assert isinstance(res, list)
+        for r in res:
+            x0, y0, x1, y1 = r["box"]
+            assert -5 <= x0 <= 517 + 5 and -5 <= y0 <= 301 + 5
+    finally:
+        b.close()
+
+
+def test_http_endpoints(detector):
+    import cv2
+    ready = threading.Event()
+    httpd, batcher = serve_http(detector, host="127.0.0.1", port=0,
+                                batch_size=4, max_wait_ms=1.0,
+                                model_name="tiny", ready_event=ready)
+    ready.wait(5)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["model"] == "tiny"
+
+        ok, buf = cv2.imencode(".png", _img(5)[..., ::-1])
+        assert ok
+        req = urllib.request.Request(base + "/detect", data=buf.tobytes(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert "detections" in out and "ms" in out
+        assert out["detections"] == detector._detect_fused(_img(5))
+
+        with urllib.request.urlopen(base + "/stats", timeout=10) as r:
+            st = json.loads(r.read())
+        assert st["requests"] >= 1 and st["batches"] >= 1
+        assert "latency_ms_p50" in st
+
+        # bad body -> 400, unknown path -> 404
+        req = urllib.request.Request(base + "/detect", data=b"not an image",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(base + "/nope", timeout=10)
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        batcher.close()

@@ -984,6 +984,21 @@ def cmd_3d(args):
     print(args.out)
 
 
+def cmd_serve_http(args):
+    """HTTP detection server with dynamic micro-batching (server.py):
+    concurrent POST /detect requests coalesce into fixed-shape device
+    batches on the fused-letterbox path — any input size, one compiled
+    executable per canvas bucket, boxes back in original pixels."""
+    from yolo_tensorflow_tpu.server import serve_http
+    args.letterbox = True
+    args.fused_letterbox = True
+    det = _build_detector(args)
+    serve_http(det, host=args.host, port=args.port,
+               batch_size=args.batch, max_wait_ms=args.max_wait_ms,
+               max_canvas=args.max_canvas,
+               model_name=args.model or args.cfg or "model")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="yolo_tensorflow_tpu")
     ap.add_argument("--platform", choices=("cpu", "tpu", "axon"),
@@ -1403,6 +1418,22 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prefix", default=".", help="output directory")
     p.set_defaults(fn=cmd_mkimg)
+
+    p = sub.add_parser("serve-http",
+                       help="HTTP detection server with dynamic "
+                            "micro-batching (POST /detect, GET /healthz, "
+                            "GET /stats)")
+    _add_model_args(p)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--batch", type=int, default=8,
+                   help="compiled batch size requests coalesce into")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="batching window after the first request")
+    p.add_argument("--max-canvas", type=int, default=1024,
+                   help="largest on-device canvas bucket; bigger images "
+                        "are host-downscaled first")
+    p.set_defaults(fn=cmd_serve_http)
 
     p = sub.add_parser("imtest",
                        help="image-op self test (darknet 'imtest')")
