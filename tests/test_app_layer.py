@@ -254,3 +254,30 @@ def test_cli_flip_tta_mode_reaches_detector(monkeypatch):
     cli._build_detector(args)
     assert captured["tta"] is True
     assert captured["tta_mode"] == "corrected"
+
+
+def test_cli_global_profiling_flags(tmp_path, capsys):
+    """--trace / --xla-dump are global flags: --trace captures a
+    jax.profiler trace around the whole command, --xla-dump seeds
+    XLA_FLAGS before the first compile (the framework's tracing story,
+    SURVEY §5 / YOLO_V1_Inference.py:379-383, YOLO_v2.py:51)."""
+    import os
+    from yolo_tensorflow_tpu import cli
+    trace_dir = tmp_path / "trace"
+    cli.main(["--trace", str(trace_dir),
+              "summary", "--model", "yolov2-tiny-voc"])
+    out = capsys.readouterr()
+    assert "conv 1024" in out.out
+    # jax.profiler writes plugins/profile/<ts>/*.xplane.pb under the dir
+    found = [p for p, _, fs in os.walk(trace_dir)
+             for f in fs if f.endswith(".xplane.pb")]
+    assert found, f"no xplane trace written under {trace_dir}"
+
+    dump_dir = tmp_path / "hlo"
+    old = os.environ.get("XLA_FLAGS", "")
+    try:
+        cli.main(["--xla-dump", str(dump_dir),
+                  "summary", "--model", "yolov2-tiny-voc"])
+        assert f"--xla_dump_to={dump_dir}" in os.environ.get("XLA_FLAGS", "")
+    finally:
+        os.environ["XLA_FLAGS"] = old

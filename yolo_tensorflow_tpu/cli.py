@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -1004,6 +1005,18 @@ def main(argv=None):
     ap.add_argument("--platform", choices=("cpu", "tpu", "axon"),
                     default=None,
                     help="force a JAX backend (e.g. cpu for offline use)")
+    ap.add_argument("--trace", nargs="?", const="/tmp/yolo_trace",
+                    default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the whole command "
+                         "into DIR (view with xprof/tensorboard) — the "
+                         "framework's answer to the reference's wall-clock "
+                         "prints around sess.run "
+                         "(YOLO_V1_Inference.py:379-383)")
+    ap.add_argument("--xla-dump", nargs="?", const="/tmp/yolo_xla_dump",
+                    default=None, metavar="DIR",
+                    help="dump compiled HLO into DIR (the TensorBoard "
+                         "graph-dump analogue of FileWriter('logs/', ...), "
+                         "YOLO_v2.py:51); set before the first compile")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("detect", help="detect objects in images")
@@ -1450,9 +1463,18 @@ def main(argv=None):
     p.set_defaults(fn=cmd_3d)
 
     args = ap.parse_args(argv)
+    if args.xla_dump:
+        from .utils.profiling import enable_xla_dump
+        enable_xla_dump(args.xla_dump)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.trace:
+        from .utils.profiling import device_trace
+        with device_trace(args.trace):
+            rc = args.fn(args)
+        print(f"profiler trace written to {args.trace}", file=sys.stderr)
+        return rc
     return args.fn(args)
 
 
