@@ -175,6 +175,54 @@ def test_result_file_writers(tmp_path):
     assert coco_image_id("images/000017.jpg") == 17
 
 
+def _c_print_imagenet_detections(image_id, results, classes, w, h):
+    """Line-level transcription of print_imagenet_detections
+    (examples/detector.c:212-233) over one-class-per-detection results:
+    clamp [0, w/h] with NO 1-based shift (unlike print_detector_detections'
+    +1/clip-at-1), id is the running index, class is j+1."""
+    lines = []
+    for r in results:
+        xmin = r["box"][0] - 0.0
+        ymin = r["box"][1]
+        xmax = r["box"][2]
+        ymax = r["box"][3]
+        if xmin < 0:
+            xmin = 0
+        if ymin < 0:
+            ymin = 0
+        if xmax > w:
+            xmax = w
+        if ymax > h:
+            ymax = h
+        j = r["class_id"]
+        if r["score"]:
+            lines.append(f"{image_id} {j + 1} {r['score']:f} "
+                         f"{xmin:f} {ymin:f} {xmax:f} {ymax:f}\n")
+    return lines
+
+
+def test_imagenet_results_writer(tmp_path):
+    from yolo_tensorflow_tpu.eval.map import write_imagenet_results
+    results = [{"class_id": 0, "class": "a", "score": 0.9,
+                "box": (-2.0, 5.0, 30.0, 40.0)},
+               {"class_id": 2, "class": "c", "score": 0.5,
+                "box": (10.0, 10.0, 120.0, 90.0)}]
+    out = tmp_path / "imagenet-detection.txt"
+    # two images to pin the running-index semantics
+    write_imagenet_results(str(out), [(1, 100, 80, results),
+                                      (2, 100, 80, results[:1])])
+    got = open(out).readlines()
+    want = (_c_print_imagenet_detections(1, results, 3, 100, 80)
+            + _c_print_imagenet_detections(2, results[:1], 3, 100, 80))
+    assert got == want
+    # semantics the transcription pins: 0-clamp (not VOC's 1), 1-based class
+    f0 = got[0].split()
+    assert f0[0] == "1" and f0[1] == "1" and float(f0[3]) == 0.0
+    assert float(f0[4]) == 5.0   # no +1 shift on in-range coords
+    f1 = got[1].split()
+    assert f1[1] == "3" and float(f1[5]) == 100.0  # clamp to w
+
+
 def test_recall_stats():
     from yolo_tensorflow_tpu.eval.map import recall_stats
     gt = [{"boxes": np.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32),

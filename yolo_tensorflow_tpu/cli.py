@@ -241,10 +241,16 @@ def cmd_eval(args):
     per_image = []
     if args.write_results:
         from yolo_tensorflow_tpu.eval.map import coco_image_id
-        for s, (h, w), res in zip(samples, sizes, results):
+        for k, (s, (h, w), res) in enumerate(zip(samples, sizes, results)):
             stem = os.path.splitext(os.path.basename(s.image_path))[0]
-            image_id = coco_image_id(s.image_path) if args.coco_results \
-                else stem
+            if args.coco_results:
+                image_id = coco_image_id(s.image_path)
+            elif getattr(args, "imagenet_results", False):
+                # print_imagenet_detections takes the 1-based running
+                # list index as the id (detector.c:469)
+                image_id = k + 1
+            else:
+                image_id = stem
             per_image.append((image_id, w, h, res))
     n_cls = det.cfg.num_classes
     if args.recall:
@@ -253,11 +259,17 @@ def cmd_eval(args):
         return
     if args.write_results:
         from yolo_tensorflow_tpu.eval.map import (write_coco_results,
+                                                  write_imagenet_results,
                                                   write_voc_results)
         if args.coco_results:
             path = os.path.join(args.write_results, "coco_results.json")
             os.makedirs(args.write_results, exist_ok=True)
             write_coco_results(path, per_image)
+        elif getattr(args, "imagenet_results", False):
+            # the C's default name in imagenet mode (detector.c:401)
+            path = os.path.join(args.write_results, "imagenet-detection.txt")
+            os.makedirs(args.write_results, exist_ok=True)
+            write_imagenet_results(path, per_image)
         else:
             write_voc_results(args.write_results, det.cfg.classes, per_image)
     if args.coco_metric:
@@ -1085,6 +1097,11 @@ def main(argv=None):
     p.add_argument("--coco-results", action="store_true",
                    help="with --write-results: COCO results-json instead "
                         "of VOC per-class files")
+    p.add_argument("--imagenet-results", action="store_true",
+                   help="with --write-results: the 'eval=imagenet' format "
+                        "— one imagenet-detection.txt with 1-based running "
+                        "image ids and 1-based class ids "
+                        "(print_imagenet_detections, detector.c:212)")
     p.add_argument("--recall", action="store_true",
                    help="IoU/recall stats instead of mAP "
                         "(validate_detector_recall, detector.c:489)")

@@ -213,6 +213,37 @@ def write_coco_results(out_path: str, per_image, *,
         json.dump(records, f)
 
 
+def write_imagenet_results(out_path: str, per_image) -> None:
+    """ImageNet-detection results file (print_imagenet_detections,
+    examples/detector.c:212-233, selected when the .data file says
+    ``eval=imagenet``, detector.c:400-404): one
+    '<id> <class+1> <score> <xmin> <ymin> <xmax> <ymax>' line per
+    detection. Unlike the VOC writer this clamps at 0 (no 1-based +1
+    shift) and the image id is the 1-based RUNNING INDEX of the image in
+    the valid list (validate_detector passes ``i+t-nthreads+1``,
+    detector.c:469), not the file stem; the class id is 1-based (``j+1``).
+
+    Pinned upstream quirk (documented, not reproduced): the C forces
+    ``classes = 200`` in imagenet mode (detector.c:404) but
+    ``dets[i].prob`` only holds the model's own class count
+    (make_network_boxes, src/network.c:616) — for any model with fewer
+    than 200 classes the print loop reads past the prob array (heap
+    overread, garbage lines). We write the model's real classes only.
+
+    per_image: iterable of (image_id, width, height, results); pass the
+    running 1-based index as image_id for C-equivalent output."""
+    with open(out_path, "w") as f:
+        for image_id, w, h, results in per_image:
+            for r in results:
+                x0, y0, x1, y1 = r["box"]
+                xmin = max(x0, 0.0)
+                ymin = max(y0, 0.0)
+                xmax = min(x1, w)
+                ymax = min(y1, h)
+                f.write(f"{image_id} {r['class_id'] + 1} {r['score']:f} "
+                        f"{xmin:f} {ymin:f} {xmax:f} {ymax:f}\n")
+
+
 def coco_image_id(path: str) -> int:
     """get_coco_image_id (examples/detector.c:157): numeric tail of the
     file name after the last '_' (or '/')."""
