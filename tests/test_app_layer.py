@@ -254,6 +254,13 @@ def test_cli_flip_tta_mode_reaches_detector(monkeypatch):
     cli._build_detector(args)
     assert captured["tta"] is True
     assert captured["tta_mode"] == "corrected"
+    # and TTA composes with the fused letterbox (VERDICT r3 order 4):
+    # --flip --letterbox --fused-letterbox must build fused=True tta=True
+    captured.clear()
+    args.letterbox = True
+    args.fused_letterbox = True
+    cli._build_detector(args)
+    assert captured["tta"] is True and captured["fused"] is True
 
 
 def test_cli_global_profiling_flags(tmp_path, capsys):

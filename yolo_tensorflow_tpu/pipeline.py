@@ -166,18 +166,32 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
                            conf_threshold: Optional[float] = None,
                            iou_threshold: Optional[float] = None,
                            class_aware_nms: Optional[bool] = None,
-                           score_dtype=None, letterbox_dtype=None):
+                           score_dtype=None, letterbox_dtype=None,
+                           tta: bool = False, tta_mode: str = "darknet"):
     """Forward with the letterbox FUSED into the jit (BASELINE.md north
     star): (params, canvas (B,Hc,Hc,3) uint8, sizes (B,2) int32 [h,w]) ->
     Detections whose boxes are in ORIGINAL-image pixels. The host does no
     resize at all — only a memcpy of raw pixels into the canvas; the
     darknet-exact letterbox (ops/preprocess.py) and the box un-mapping
     (correct_yolo_boxes equivalent) run on device with traced scalars, so
-    one compilation serves every input size up to the canvas."""
+    one compilation serves every input size up to the canvas.
+
+    ``tta=True`` composes flip-TTA with the fused letterbox — exactly
+    validate_detector_flip's pipeline (examples/detector.c:234: the C
+    letterboxes first, then flip_image's the whole letterboxed canvas for
+    the batch-2 input): the mirror is taken of the LETTERBOXED tensor
+    inside the jit (one width reversal, the pad columns mirror with it),
+    the activated head outputs average per the existing flip kernels
+    (avg_flipped_yolo / get_region_detections batch==2), and the boxes
+    un-map once. No host resize, no second letterbox."""
     from yolo_tensorflow_tpu.ops import preprocess as P
     nms_kw = _nms_opts(cfg, max_detections, conf_threshold, iou_threshold,
                        class_aware_nms, num_candidates)
     S = cfg.input_size
+    if tta and cfg.head not in (2, 3):
+        raise ValueError("flip-TTA is a region/yolo-layer capability "
+                         "(get_region_detections region_layer.c:368; "
+                         "avg_flipped_yolo yolo_layer.c:290)")
 
     # fold the per-model normalization (normalize_images' contract) into
     # the letterbox interpolation itself — zero extra passes
@@ -189,12 +203,40 @@ def make_forward_letterbox(cfg: C.ModelConfig, specs, *,
                                      rescale=rescale, offset=offset)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
-        dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
-                               compute_dtype=compute_dtype)
-        boxes_xywh, scores, labels = heads.decode_scored(
-            dets, cfg, score_dtype=score_dtype or jnp.float32)
-        boxes = heads.xywh_to_xyxy(boxes_xywh)
-        out = NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
+        if tta:
+            B = x.shape[0]
+            x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+            dets2, _ = engine.apply(specs, params, x2, bn_eps=cfg.bn_eps,
+                                    compute_dtype=compute_dtype)
+            if cfg.head == 3:
+                avgs, det_specs = [], []
+                for feat2, det in dets2:
+                    act = heads.activate_v3(feat2, len(det.anchor_mask),
+                                            cfg.num_classes)
+                    avgs.append(heads.yolo_flip_tta(
+                        act[:B], act[B:], len(det.anchor_mask),
+                        cfg.num_classes, mode=tta_mode))
+                    det_specs.append(det)
+                boxes, scores, labels = _decode_v3_activated_scales(
+                    avgs, det_specs, cfg)
+                out = NMS.batched_nms_scored(boxes, scores, labels,
+                                             **nms_kw)
+            else:
+                (feat2, _), = dets2
+                act = heads.activate_v2(feat2, cfg)
+                avg = heads.region_flip_tta(act[:B], act[B:], cfg,
+                                            mode=tta_mode)
+                boxes_xywh, conf, probs = heads.decode_v2_activated(avg,
+                                                                    cfg)
+                out = NMS.batched_nms(heads.xywh_to_xyxy(boxes_xywh),
+                                      conf, probs, **nms_kw)
+        else:
+            dets, _ = engine.apply(specs, params, x, bn_eps=cfg.bn_eps,
+                                   compute_dtype=compute_dtype)
+            boxes_xywh, scores, labels = heads.decode_scored(
+                dets, cfg, score_dtype=score_dtype or jnp.float32)
+            boxes = heads.xywh_to_xyxy(boxes_xywh)
+            out = NMS.batched_nms_scored(boxes, scores, labels, **nms_kw)
         boxes_px = jax.vmap(
             lambda b, s: P.unmap_boxes_device(b, s[0], s[1], S))(
                 out.boxes, sizes)
@@ -352,10 +394,6 @@ class Detector:
                            compute_dtype=compute_dtype, **nms_kwargs)
         if self.fused:
             nms_kwargs.pop("fused_decode", None)
-            if nms_kwargs.pop("tta", False):
-                raise ValueError("tta=True is not supported with the fused "
-                                 "letterbox path yet; use fused=False")
-            nms_kwargs.pop("tta_mode", None)
             if letterbox_dtype is None and self._narrow_serving(
                     compute_dtype):
                 # bf16 letterbox is the default whenever the model itself
