@@ -152,6 +152,141 @@ def test_validate_classifier_accuracy_math(tmp_path):
     assert res["top2"] == pytest.approx(3 / 5)
 
 
+def _random_classifier(tmp_path, seed=7):
+    """Tiny headless-cfg Classifier with random params + its raw pieces."""
+    from yolo_tensorflow_tpu.pipeline import Classifier
+    cfg, specs = C.config_from_cfg(_write_cfg(tmp_path))
+    params, _ = engine.init_params(specs, (1, 64, 64, 3),
+                                   jax.random.PRNGKey(seed), folded=True)
+    return Classifier(cfg, params=params, specs=specs), cfg, specs
+
+
+def _probs_np(cfg, specs, params, x_float):
+    """Forward probs from an exact (B, H, W, 3) /255 float input — the
+    oracle side of the mode gates (bypasses the device resize)."""
+    dets, _ = engine.apply(specs, params, jnp.asarray(x_float),
+                           bn_eps=cfg.bn_eps)
+    (probs, _), = dets
+    return np.asarray(probs, np.float32)
+
+
+def _crop_image_np(im, dx, dy, w, h):
+    """crop_image (src/image.c:857-875): out[j,i] = im[clamp(j+dy),
+    clamp(i+dx)] — replicate-edge for out-of-range reads."""
+    rr = np.clip(np.arange(h) + dy, 0, im.shape[0] - 1)
+    cc = np.clip(np.arange(w) + dx, 0, im.shape[1] - 1)
+    return im[rr][:, cc]
+
+
+def test_classify_batch_resize_matches_transcription(tmp_path):
+    """mode='crop' == load_image_color(path, w, h) stretch (load_data_old,
+    src/data.c:1122) + forward: the device resize path must equal the
+    numpy resize_image transcription fed through the same net."""
+    clf, cfg, specs = _random_classifier(tmp_path)
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8)
+            for h, w in [(40, 50), (64, 64), (100, 30)]]
+    got = np.asarray(clf.classify_batch_resize(imgs), np.float32)
+    want = _probs_np(cfg, specs, clf.params, np.stack([
+        _resize_image_np(im.astype(np.float32) / 255.0, 64, 64)
+        for im in imgs]))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_classify_batch_10crop_matches_transcription(tmp_path):
+    """mode='10crop' == validate_classifier_10 (examples/classifier.c:
+    234-305): stretch to (S+32, S+32), ten clamped S-crops — corners +
+    center, then the same five of the mirror — probs summed."""
+    clf, cfg, specs = _random_classifier(tmp_path)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (70, 90, 3), np.uint8)
+    S_net, shift = 64, 32
+    base = _resize_image_np(img.astype(np.float32) / 255.0,
+                            S_net + shift, S_net + shift)
+    views = []
+    for im in (base, base[:, ::-1]):   # flip_image = width mirror
+        views += [_crop_image_np(im, dx, dy, S_net, S_net)
+                  for dx, dy in [(-shift, -shift), (shift, -shift),
+                                 (0, 0), (-shift, shift), (shift, shift)]]
+    want = _probs_np(cfg, specs, clf.params, np.stack(views)).sum(0)
+    got = np.asarray(clf.classify_batch_10crop([img]), np.float32)[0]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_classify_fullconv_matches_transcription(tmp_path):
+    """mode='full' == validate_classifier_full (examples/classifier.c:
+    303-358): resize_min (shorter side -> S, integer //), fully-conv
+    forward at the resized shape."""
+    from yolo_tensorflow_tpu.eval.classify import _chunk_probs
+    clf, cfg, specs = _random_classifier(tmp_path)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (80, 100, 3), np.uint8)
+    nh, nw = clf._resize_min_shape(80, 100, 64)
+    assert (nh, nw) == (64, (100 * 64) // 80)
+    want = _probs_np(cfg, specs, clf.params, _resize_image_np(
+        img.astype(np.float32) / 255.0, nw, nh)[None])
+    got = _chunk_probs(clf, [img], "full")
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_classify_multi_matches_transcription(tmp_path):
+    """mode='multi' == validate_classifier_multi (examples/classifier.c:
+    419-480): resize_max at scales {224,256,288,320}, prediction + mirror
+    prediction summed over all scales. Tiny net: scales stay the C's —
+    the dispatch table is the spec, not the net size."""
+    from yolo_tensorflow_tpu.eval.classify import MULTI_SCALES, _chunk_probs
+    assert MULTI_SCALES == (224, 256, 288, 320)
+    clf, cfg, specs = _random_classifier(tmp_path)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (60, 45, 3), np.uint8)
+    want = np.zeros((3,), np.float32)
+    for sc in MULTI_SCALES:
+        nh, nw = clf._resize_max_shape(60, 45, sc)
+        assert nh == sc and nw == (45 * sc) // 60
+        r = _resize_image_np(img.astype(np.float32) / 255.0, nw, nh)
+        want += _probs_np(cfg, specs, clf.params,
+                          np.stack([r, r[:, ::-1]])).sum(0)
+    got = _chunk_probs(clf, [img], "multi")[0]
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+
+
+def test_multi_groups_mixed_shapes(tmp_path):
+    """Images with different resize targets in one chunk must come back
+    in order (the group-by-shape scatter)."""
+    from yolo_tensorflow_tpu.eval.classify import _chunk_probs
+    clf, cfg, specs = _random_classifier(tmp_path)
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8)
+            for h, w in [(60, 45), (45, 60), (60, 45)]]
+    batch = _chunk_probs(clf, imgs, "full")
+    singles = np.concatenate([_chunk_probs(clf, [im], "full")
+                              for im in imgs])
+    np.testing.assert_allclose(batch, singles, rtol=0, atol=1e-5)
+
+
+def test_cli_classifier_mode_flag(tmp_path, capsys):
+    """eval --classifier-mode 10crop drives the 10-crop validator end to
+    end (the C's `classifier valid10` dispatch, classifier.c:1086)."""
+    from yolo_tensorflow_tpu.cli import main
+    from yolo_tensorflow_tpu.io import weights as W
+    cfg_path = _write_cfg(tmp_path)
+    cfg, specs = C.config_from_cfg(cfg_path)
+    params, stats = engine.init_params(specs, (1, 64, 64, 3),
+                                       jax.random.PRNGKey(0), folded=False)
+    wpath = tmp_path / "tiny-cls.weights"
+    W.save_darknet_weights(specs, 64, params, stats, str(wpath), head=0)
+    names = tmp_path / "names.txt"
+    names.write_text("cat\ndog\nbird\n")
+    paths = _write_images(tmp_path, ["cat", "dog"])
+    lst = tmp_path / "val.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    main(["eval", "--cfg", cfg_path, "--names", str(names),
+          "--weights", str(wpath), "--list", str(lst),
+          "--top", "2", "--classifier-mode", "10crop"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["images"] == 2 and res["mode"] == "10crop"
+
+
 def test_cli_classifier_eval_end_to_end(tmp_path, capsys):
     """eval --cfg <headless cfg> dispatches to the classifier validator
     and reports top-1/top-N — the darknet `classifier valid` twin."""

@@ -187,6 +187,7 @@ def _eval_classifier(args):
     res = validate_classifier(
         clf, samples, top_k=args.top, batch_size=args.batch_size,
         num_workers=args.num_workers,
+        mode=getattr(args, "classifier_mode", "single"),
         progress=lambda d, n: print(f"\r{d}/{n}", end="", flush=True,
                                     file=sys.stderr))
     dt = time.time() - t0
@@ -1120,6 +1121,15 @@ def main(argv=None):
                         "(validate_classifier_single, "
                         "examples/classifier.c:303; 'top' in the .data "
                         "file). Detection models ignore this.")
+    p.add_argument("--classifier-mode",
+                   choices=("single", "crop", "10crop", "full", "multi"),
+                   default="single",
+                   help="classifier eval flow (the C's 'valid'/'validcrop'"
+                        "/'valid10'/'validfull'/'validmulti' dispatch, "
+                        "examples/classifier.c:1085): single=center-crop, "
+                        "crop=stretch resize, 10crop=ten summed crops, "
+                        "full=resize_min fully-conv, multi=4 scales + "
+                        "mirror summed")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model (detector or classifier)")

@@ -48,15 +48,66 @@ def topk_indices(probs: np.ndarray, k: int) -> np.ndarray:
     return np.argsort(-probs, axis=1, kind="stable")[:, :k]
 
 
+# scales of validate_classifier_multi (examples/classifier.c:437; the
+# commented-out alternative {224,288,320,352,384} is not the compiled one)
+MULTI_SCALES = (224, 256, 288, 320)
+
+
+def _chunk_probs(clf, imgs, mode: str) -> np.ndarray:
+    """(B, classes) prob scores for one decoded chunk under an eval mode.
+
+    Modes, each the named reference flow with its exact preprocessing
+    (device-side, darknet-bilinear resize_device):
+      single - center_crop_image, validate_classifier_single (:361)
+      crop   - stretch resize via load_data_old, validate_classifier_crop
+               (:170). The C chunks m/1000 splits (and divides by zero on
+               <1000 images); accuracy is image-mean either way.
+      10crop - ten summed corner/center/mirror crops of the (S+32)
+               stretch, validate_classifier_10 (:234)
+      full   - resize_min + fully-conv forward at the resized shape,
+               validate_classifier_full (:303); each distinct shape in
+               the chunk is its own sub-batch (one compile per shape,
+               where the C reallocs the net per image)
+      multi  - resize_max at scales {224,256,288,320} + mirror, probs
+               summed over all 8 views, validate_classifier_multi (:419)
+    """
+    if mode == "single":
+        return np.asarray(clf.classify_batch_center_crop(imgs), np.float32)
+    if mode == "crop":
+        return np.asarray(clf.classify_batch_resize(imgs), np.float32)
+    if mode == "10crop":
+        return np.asarray(clf.classify_batch_10crop(imgs), np.float32)
+    if mode not in ("full", "multi"):
+        raise ValueError(f"unknown classifier eval mode {mode!r}")
+    n_cls = len(clf.cfg.classes)
+    out = np.zeros((len(imgs), n_cls), np.float32)
+    scales = MULTI_SCALES if mode == "multi" else (clf.cfg.input_size,)
+    for scale in scales:
+        shape_of = (clf._resize_max_shape if mode == "multi"
+                    else clf._resize_min_shape)
+        groups: dict = {}
+        for i, im in enumerate(imgs):
+            groups.setdefault(shape_of(im.shape[0], im.shape[1], scale),
+                              []).append(i)
+        for out_hw, idxs in groups.items():
+            probs = clf.classify_group_fullconv([imgs[i] for i in idxs],
+                                                out_hw,
+                                                flip=(mode == "multi"))
+            out[np.asarray(idxs)] += np.asarray(probs, np.float32)
+    return out
+
+
 def validate_classifier(clf, samples: Sequence[Tuple[str, int]], *,
                         top_k: int = 5, batch_size: int = 32,
-                        num_workers: int = 4,
+                        num_workers: int = 4, mode: str = "single",
                         progress: Optional[Callable] = None) -> dict:
     """samples: (image_path, class_id) pairs (data.datasets.
     load_classifier_list). Returns running accuracies exactly as the C
     accumulates them: top1 = mean(argmax == class), top{k} = mean(class
     in top-k). Images whose path matched no label (class_id < 0) count
-    as misses, like the C's class = -1.
+    as misses, like the C's class = -1. ``mode`` selects which of the
+    five validate_classifier_* flows runs (see _chunk_probs) — the C
+    dispatches them by name at examples/classifier.c:1085-1089.
 
     Decode overlaps compute: chunk k+1 decodes on the worker pool while
     the device classifies chunk k (the dispatch is async; only the probs
@@ -73,10 +124,9 @@ def validate_classifier(clf, samples: Sequence[Tuple[str, int]], *,
 
         imgs = decode(chunks[0]) if chunks else None
         for ci, chunk in enumerate(chunks):
-            probs_dev = clf.classify_batch_center_crop(imgs)
+            probs = _chunk_probs(clf, imgs, mode)
             # decode the NEXT chunk while the device runs this one
             imgs = decode(chunks[ci + 1]) if ci + 1 < len(chunks) else None
-            probs = np.asarray(probs_dev, np.float32)
             idx = topk_indices(probs, top_k)
             for (path, cls), row in zip(chunk, idx):
                 t1 += int(row[0] == cls)
@@ -85,4 +135,4 @@ def validate_classifier(clf, samples: Sequence[Tuple[str, int]], *,
             if progress is not None:
                 progress(n, len(samples))
     return {"top1": t1 / max(n, 1), f"top{top_k}": tk / max(n, 1),
-            "images": n}
+            "images": n, "mode": mode}

@@ -143,6 +143,73 @@ def letterbox_device(canvas_u8, img_h, img_w, out_size: int,
     return out + offset if offset != 0.0 else out
 
 
+def resize_device(canvas_u8, img_h, img_w, out_h: int, out_w: int,
+                  compute_dtype=None, rescale: float = 1.0,
+                  offset: float = 0.0):
+    """darknet's stretch resize_image (src/image.c:1347) on device: (Hc,
+    Wc, 3) uint8 canvas whose top-left [0:h, 0:w] holds the real pixels +
+    traced (h, w) -> (out_h, out_w, 3) float32 = rescale *
+    resize_image(im, out_w, out_h)/255 + offset. The classifier eval
+    modes build on this: validate_classifier_crop's load_image_color(w,h)
+    stretch, the 10-crop mode's (S+32)x(S+32) base, and the full/multi
+    modes' resize_min/resize_max targets (examples/classifier.c).
+
+    Same TPU formulation as letterbox_device — the separable bilinear as
+    two one-hot-matrix matmuls, horizontal pass first, both edge rules
+    (last column copies the source edge; the last row keeps (1-dy) but
+    skips the +dy term) — minus the pad bookkeeping: the output is all
+    image. Only matrix CONTENTS depend on (h, w); shapes are static."""
+    Hc, Wc = canvas_u8.shape[0], canvas_u8.shape[1]
+    h = jnp.asarray(img_h, jnp.int32)
+    w = jnp.asarray(img_w, jnp.int32)
+    w_scale = (w - 1).astype(jnp.float32) / max(out_w - 1, 1)
+    h_scale = (h - 1).astype(jnp.float32) / max(out_h - 1, 1)
+
+    cc = jnp.arange(out_w, dtype=jnp.int32)
+    rr = jnp.arange(out_h, dtype=jnp.int32)
+    sx = cc.astype(jnp.float32) * w_scale
+    sy = rr.astype(jnp.float32) * h_scale
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    dx = sx - ix.astype(jnp.float32)
+    dy = sy - iy.astype(jnp.float32)
+
+    last_col = (cc == out_w - 1) | (w == 1)
+    last_row = (rr == out_h - 1) | (h == 1)
+    ix = jnp.where(last_col, w - 1, ix)
+    dx = jnp.where(last_col, 0.0, dx)
+    wbot = jnp.where(last_row, 0.0, dy)
+
+    ix = jnp.clip(ix, 0, Wc - 1)
+    iy = jnp.clip(iy, 0, Hc - 1)
+    ix1 = jnp.clip(ix + 1, 0, Wc - 1)
+    iy1 = jnp.clip(iy + 1, 0, Hc - 1)
+
+    col_ids = jnp.arange(Wc, dtype=jnp.int32)
+    row_ids = jnp.arange(Hc, dtype=jnp.int32)
+    Cm = ((col_ids[None, :] == ix[:, None]) * (1 - dx)[:, None]
+          + (col_ids[None, :] == ix1[:, None]) * dx[:, None])  # (out_w, Wc)
+    Rm = ((row_ids[None, :] == iy[:, None]) * (1 - dy)[:, None]
+          + (row_ids[None, :] == iy1[:, None]) * wbot[:, None])  # (out_h, Hc)
+
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        part = jnp.einsum("hwc,sw->hsc", canvas_u8.astype(compute_dtype),
+                          (Cm * (rescale / 255.0)).astype(compute_dtype),
+                          preferred_element_type=jnp.float32) \
+            .astype(compute_dtype)
+        val = jnp.einsum("rh,hsc->rsc", Rm.astype(compute_dtype), part,
+                         preferred_element_type=jnp.float32)
+    else:
+        x = canvas_u8.astype(jnp.float32) / 255.0
+        part = jnp.einsum("hwc,sw->hsc", x, Cm,
+                          precision=jax.lax.Precision.HIGHEST)
+        val = jnp.einsum("rh,hsc->rsc", Rm, part,
+                         precision=jax.lax.Precision.HIGHEST)
+        if rescale != 1.0:
+            val = val * rescale
+    return val + offset if offset != 0.0 else val
+
+
 def letterbox_device_batch(canvas_u8, sizes, out_size: int,
                            compute_dtype=None, rescale: float = 1.0,
                            offset: float = 0.0):

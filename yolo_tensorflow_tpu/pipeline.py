@@ -577,6 +577,7 @@ class Classifier:
         self._jit_forward = jax.jit(forward)
         self._compute_dtype = compute_dtype
         self._crop_jits = {}
+        self._mode_jits = {}
 
     def _crop_jit(self, canvas_side: int):
         """jit for the center-crop eval path, cached per canvas bucket."""
@@ -626,6 +627,120 @@ class Classifier:
             sizes[i] = (m, m)
         return self._crop_jit(side)(self.params, jnp.asarray(canvas),
                                     jnp.asarray(sizes))
+
+    def _resize_fwd_jit(self, canvas_hw, out_hw, views: str = "plain"):
+        """jit cache for the eval-mode paths: device darknet resize from a
+        (canvas_h, canvas_w) uint8 canvas (traced true sizes) to the STATIC
+        (out_h, out_w), then forward. views='plain' -> (B, classes);
+        'flip' -> image + mirror through one 2B batch, probs SUMMED
+        (validate_classifier_multi's axpy, examples/classifier.c:462-466);
+        '10crop' -> out is the (S+32) base, 10 clamped S-crops through one
+        10B batch, probs summed (validate_classifier_10:252-272)."""
+        key = (canvas_hw, out_hw, views)
+        if key not in self._mode_jits:
+            from yolo_tensorflow_tpu.ops import preprocess as P
+            cfg, specs, cd = self.cfg, self.specs, self._compute_dtype
+            rescale, offset = normalization_fold(cfg)
+            S = cfg.input_size
+            oh, ow = out_hw
+
+            def fwd(p, canvas_u8, sizes):
+                x = jax.vmap(lambda c, s: P.resize_device(
+                    c, s[0], s[1], oh, ow, rescale=rescale,
+                    offset=offset))(canvas_u8, sizes)
+                if views == "flip":
+                    x = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+                elif views == "10crop":
+                    # crop_image's constrain_int clamps out-of-range reads
+                    # to the edge (src/image.c:857-875); offsets are only
+                    # ever NEGATIVE 32 out of range here, so one
+                    # replicate-pad on top/left makes all ten crops static
+                    # slices. Same five offsets on the mirrored base.
+                    offs = [(-32, -32), (32, -32), (0, 0), (-32, 32),
+                            (32, 32)]
+                    xs = []
+                    for base in (x, x[:, :, ::-1]):
+                        padded = jnp.pad(base, ((0, 0), (32, 0), (32, 0),
+                                                (0, 0)), mode="edge")
+                        xs += [padded[:, 32 + dy:32 + dy + S,
+                                      32 + dx:32 + dx + S]
+                               for dx, dy in offs]
+                    x = jnp.concatenate(xs, axis=0)
+                if cd is not None:
+                    x = x.astype(cd)
+                dets, _ = engine.apply(specs, p, x, bn_eps=cfg.bn_eps,
+                                       compute_dtype=cd)
+                (probs, _), = dets
+                if views == "plain":
+                    return probs
+                n = 2 if views == "flip" else 10
+                B = probs.shape[0] // n
+                return probs.reshape(n, B, -1).sum(0)
+
+            self._mode_jits[key] = jax.jit(fwd)
+        return self._mode_jits[key]
+
+    def _pack_canvases(self, images):
+        """(B, Hc, Wc, 3) uint8 canvas + (B, 2) [h, w] sizes, bucketed."""
+        side = canvas_side(*[max(im.shape[0], im.shape[1])
+                             for im in images])
+        canvas = np.zeros((len(images), side, side, 3), np.uint8)
+        sizes = np.zeros((len(images), 2), np.int32)
+        for i, im in enumerate(images):
+            h, w = im.shape[:2]
+            canvas[i, :h, :w] = im
+            sizes[i] = (h, w)
+        return jnp.asarray(canvas), jnp.asarray(sizes)
+
+    def classify_batch_resize(self, images):
+        """validate_classifier_crop's preprocessing: plain stretch resize
+        to the net size (load_data_old -> load_image_color(path, w, h),
+        src/data.c:1122 — despite the mode's name there is no crop).
+        Returns (B, classes) probs on device."""
+        canvas, sizes = self._pack_canvases(images)
+        S = self.cfg.input_size
+        return self._resize_fwd_jit(canvas.shape[1:3], (S, S))(
+            self.params, canvas, sizes)
+
+    def classify_batch_10crop(self, images):
+        """validate_classifier_10 (examples/classifier.c:234-305): stretch
+        to (S+32, S+32), ten S-crops — four corners + center, then the
+        same five on the mirror — predictions SUMMED. All ten views run
+        as one 10B device batch. Returns (B, classes) summed probs."""
+        canvas, sizes = self._pack_canvases(images)
+        S = self.cfg.input_size
+        return self._resize_fwd_jit(canvas.shape[1:3], (S + 32, S + 32),
+                                    views="10crop")(
+            self.params, canvas, sizes)
+
+    @staticmethod
+    def _resize_min_shape(h: int, w: int, size: int):
+        """resize_min's integer geometry (src/image.c:997): shorter side
+        -> size."""
+        if w < h:
+            return (h * size) // w, size
+        return size, (w * size) // h
+
+    @staticmethod
+    def _resize_max_shape(h: int, w: int, size: int):
+        """resize_max's integer geometry (src/image.c:981): longer side
+        -> size."""
+        if w > h:
+            return (h * size) // w, size
+        return size, (w * size) // h
+
+    def classify_group_fullconv(self, images, out_hw, flip: bool = False):
+        """One fully-convolutional forward at the static shape ``out_hw``
+        — the resize_network(net, r.w, r.h) step of
+        validate_classifier_full/_multi (examples/classifier.c:340,460):
+        the global avgpool head makes the net shape-polymorphic, each
+        distinct resized shape is one compiled executable (the C pays a
+        workspace realloc per image instead). images must share no
+        particular shape — the device resize takes traced true sizes."""
+        canvas, sizes = self._pack_canvases(images)
+        return self._resize_fwd_jit(canvas.shape[1:3], tuple(out_hw),
+                                    views="flip" if flip else "plain")(
+            self.params, canvas, sizes)
 
     def classify(self, image: np.ndarray, top_k: int = 5):
         import cv2

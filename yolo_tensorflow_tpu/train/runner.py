@@ -63,19 +63,23 @@ def evaluate_model(cfg, specs, state, samples, *, limit=0, conf=0.25,
     return evaluate_detections(dets, gts, cfg.num_classes)
 
 
-def evaluate_classifier(cfg, state, samples, *, limit=0, specs=None):
+def evaluate_classifier(cfg, state, samples, *, limit=0, specs=None,
+                        classifier_cache=None, batch_size=32):
     """Top-1 accuracy of the in-training classifier on (path, label)
     samples — the classifier analogue of evaluate_model (the reference's
-    validate_classifier_single, examples/classifier.c). Pass ``specs``
-    for arbitrary-cfg (non-registry) classifiers; QAT runs score the int8
-    export, the artifact the run ships."""
-    import cv2
+    validate_classifier_crop stretch-resize flow, examples/classifier.c:
+    170), driven through the batched worker-pooled eval (eval/classify.
+    validate_classifier mode='crop') instead of one dispatch per image.
+    Pass ``specs`` for arbitrary-cfg (non-registry) classifiers and a
+    one-element list as ``classifier_cache`` to reuse the compiled
+    Classifier across eval rounds (params swap without recompiling); QAT
+    runs score the int8 export, the artifact the run ships."""
     import jax
     import jax.numpy as jnp
     from yolo_tensorflow_tpu import config as C
+    from yolo_tensorflow_tpu.eval.classify import validate_classifier
     from yolo_tensorflow_tpu.io.weights import fold_params
-    from yolo_tensorflow_tpu.models import engine
-    from yolo_tensorflow_tpu.pipeline import normalize_images
+    from yolo_tensorflow_tpu.pipeline import Classifier
 
     if specs is None:
         specs = C.build_specs(cfg)
@@ -85,24 +89,20 @@ def evaluate_classifier(cfg, state, samples, *, limit=0, specs=None):
         folded = fold_params(jax.tree.map(np.asarray, state.params),
                              jax.tree.map(np.asarray, state.batch_stats),
                              cfg.bn_eps)
-
-    @jax.jit
-    def probs_fn(p, images):
-        x = normalize_images(images, cfg, jnp.float32)
-        dets, _ = engine.apply(specs, p, x, bn_eps=cfg.bn_eps)
-        (probs, _), = dets
-        return probs
+    if classifier_cache is not None and classifier_cache:
+        clf = classifier_cache[0]
+        clf.params = jax.device_put(jax.tree.map(jnp.asarray, folded))
+    else:
+        clf = Classifier(cfg, params=folded, specs=specs)
+        if classifier_cache is not None:
+            classifier_cache.append(clf)
 
     if limit:
         samples = samples[:limit]
-    correct = 0
-    s = cfg.input_size
-    for smp in samples:
-        img = cv2.cvtColor(cv2.imread(smp.image_path), cv2.COLOR_BGR2RGB)
-        img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
-        probs = np.asarray(probs_fn(folded, img[None]))[0]
-        correct += int(np.argmax(probs)) == int(smp.boxes[0, 4])
-    return correct / max(len(samples), 1)
+    pairs = [(smp.image_path, int(smp.boxes[0, 4])) for smp in samples]
+    res = validate_classifier(clf, pairs, top_k=1, mode="crop",
+                              batch_size=batch_size)
+    return res["top1"]
 
 
 def aug_from_cfg(net: dict, h0: dict, head: int) -> dict:
@@ -407,8 +407,9 @@ def run_training(args):
                 if val_samples and eval_every and step_i % eval_every == 0 \
                         and jax.process_index() == 0:
                     if cfg.head == 0:
-                        acc = evaluate_classifier(cfg, state, val_samples,
-                                                  limit=200, specs=specs)
+                        acc = evaluate_classifier(
+                            cfg, state, val_samples, limit=200,
+                            specs=specs, classifier_cache=det_cache)
                         print(f"step {step_i}: val top-1 = {acc:.4f}",
                               flush=True)
                     else:
