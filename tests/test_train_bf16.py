@@ -193,6 +193,103 @@ def test_bn_onepass_stats_and_gradients_track_twopass():
     assert cos > 0.9999, cos
 
 
+def test_bn_onepass_bf16_is_wired_but_lossy():
+    """bn_stats='onepass_bf16' (bfloat16 reduction accumulators) is the
+    aggressive stat probe the perf anatomy listed. The MEASURED verdict
+    (PERF_TRAIN.md): 8-bit-mantissa accumulation over B*H*W elements
+    drifts the batch stats multiplicatively (small-magnitude channel
+    means land 3x off on this fixture) and the 30-step convergence A/B
+    goes NaN — the lever is REJECTED as a default and the flag kept only
+    as a documented experimental probe. This test pins what must stay
+    true for the probe to remain meaningful: the knob threads through the
+    full train step and one step is finite — nothing more. Even the
+    single-step update direction is uncorrelated with the exact step
+    (measured cos ~0.08 on this fixture), because layer k's bf16-drifted
+    stats mis-normalize the input every deeper layer differentiates
+    through; asserting any agreement would pin noise."""
+    cfg, tx, state, images, truths = _state_and_batch()
+    onebf = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                      bn_stats="onepass_bf16"))
+    s1, m1 = onebf(state, images, truths)
+    assert np.isfinite(float(m1["cost"]))
+    # finite, non-runaway magnitudes — the gate only excludes outright
+    # breakage (drift measured up to ~3 absolute where the exact mean is
+    # ~0.06 at the deepest BN here)
+    for a in jax.tree_util.tree_leaves(s1.batch_stats):
+        a = np.asarray(a, np.float64)
+        assert np.all(np.isfinite(a))
+        assert np.abs(a).max() < 1e3, np.abs(a).max()
+    d1 = _flat_delta(state.params, s1.params)
+    assert np.all(np.isfinite(d1)) and float(np.abs(d1).max()) > 0.0
+
+
+def test_bn_ghost_stats_are_subsample_stats():
+    """bn_stats='ghostN' must equal the onepass stats of the batch's first
+    N images exactly: running the step on the full batch with ghostN
+    produces the same batch stats as running the FORWARD on just those N
+    images — and N >= batch degenerates to plain onepass."""
+    from yolo_tensorflow_tpu.models import engine as E
+
+    cfg, tx, state, images, truths = _state_and_batch(batch=8)
+    specs = C.build_specs(cfg)
+    from yolo_tensorflow_tpu.pipeline import normalize_images
+    x = normalize_images(images, cfg)
+    _, aux_g = E.apply(specs, state.params, x, train=True,
+                       bn_stats="ghost2")
+    _, aux_s = E.apply(specs, state.params, x[:2], train=True,
+                       bn_stats="onepass")
+    # batch-8 and batch-2 convs tile differently, so the shared rows
+    # accumulate in a different order — equality here is up to f32
+    # reassociation noise, not bit-exact
+    for key, stg in aux_g["batch_stats"].items():
+        sts = aux_s["batch_stats"][key]
+        np.testing.assert_allclose(np.asarray(stg["mean"]),
+                                   np.asarray(sts["mean"]),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stg["var"]),
+                                   np.asarray(sts["var"]),
+                                   rtol=1e-4, atol=1e-5)
+    _, aux_full = E.apply(specs, state.params, x, train=True,
+                          bn_stats="ghost99")
+    _, aux_one = E.apply(specs, state.params, x, train=True,
+                         bn_stats="onepass")
+    for key, stg in aux_full["batch_stats"].items():
+        np.testing.assert_allclose(
+            np.asarray(stg["var"]),
+            np.asarray(aux_one["batch_stats"][key]["var"]), rtol=1e-6)
+
+
+def test_bn_ghost_training_makes_progress():
+    """Convergence probe for ghost-BN stat subsampling, pinning the
+    MEASURED A/B verdict (PERF_TRAIN.md): ghost4 at batch 8 still
+    optimizes — 30 steps on the fixed batch cut the cost well below its
+    start — but lands far above the darknet-exact twopass run (measured
+    ~5x: 2.47 vs 0.50 on this fixture), because half-batch stats are a
+    noisy estimator the whole batch then gets normalized by. So ghost is
+    REJECTED as a training default at small batch and stays an opt-in
+    lever for large-batch stat-pass bandwidth, where N/B keeps the
+    estimator tight. (onepass_bf16's A/B result was starker still — NaN
+    by step 30 — which is asserted nowhere because pinning a divergence
+    trajectory is noise; its rejection lives in PERF_TRAIN.md.)"""
+    cfg, tx, state, images, truths = _state_and_batch(batch=8)
+    costs = {}
+    for mode in ("twopass", "ghost4"):
+        st = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                  input_size=SIZE)
+        step = jax.jit(T.make_train_step(cfg, tx, input_size=SIZE,
+                                         bn_stats=mode))
+        first = None
+        for _ in range(30):
+            st, m = step(st, images, truths)
+            if first is None:
+                first = float(m["cost"])
+        costs[mode] = (first, float(m["cost"]))
+    g0, g30 = costs["ghost4"]
+    assert np.isfinite(g30), costs
+    assert g30 < 0.5 * g0, costs  # it trains...
+    assert g30 > costs["twopass"][1], costs  # ...but exactness wins here
+
+
 def test_bn_onepass_reaches_deconv_and_dense():
     """The onepass knob must thread into EVERY feedforward BN site — deconv
     and connected too, not just conv — so the A/B measures one mode, not a

@@ -130,6 +130,18 @@ def main(batch=128, size=416, model="yolov3"):
     rows.append(("train fwd only, onepass BN stats (--bn-onepass)", t, 1.0))
 
     t = timeit(chained(
+        lambda im: fwd_only(state.params, state.batch_stats, im,
+                            bn_stats="onepass_bf16")), images)
+    rows.append(("train fwd only, onepass_bf16 BN stats", t, 1.0))
+
+    ghost = f"ghost{max(batch // 4, 1)}"
+    t = timeit(chained(
+        lambda im: fwd_only(state.params, state.batch_stats, im,
+                            bn_stats=ghost)), images)
+    rows.append((f"train fwd only, {ghost} BN stats (B/4 subsample)",
+                 t, 1.0))
+
+    t = timeit(chained(
         lambda im: loss_fn(state.params, state.batch_stats, im, truths)),
         images)
     rows.append(("train fwd + loss (unfolded BN, batch stats)", t, 1.0))

@@ -1010,6 +1010,7 @@ def cmd_serve_http(args):
     serve_http(det, host=args.host, port=args.port,
                batch_size=args.batch, max_wait_ms=args.max_wait_ms,
                max_canvas=args.max_canvas,
+               max_body_bytes=args.max_body_mb << 20,
                model_name=args.model or args.cfg or "model")
 
 
@@ -1190,7 +1191,19 @@ def main(argv=None):
                         "mean and variance become sibling reductions XLA "
                         "fuses into one activation read, cutting train-mode "
                         "BN HBM traffic ~2x; not bit-identical to darknet's "
-                        "two-pass variance (PERF_TRAIN.md)")
+                        "two-pass variance (PERF_TRAIN.md). Shorthand for "
+                        "--bn-stats onepass")
+    p.add_argument("--bn-stats", default=None,
+                   metavar="{twopass,onepass,onepass_bf16,ghostN}",
+                   help="BN batch-stat form (ops/layers.batch_norm_train): "
+                        "twopass = darknet-exact (default); onepass = one "
+                        "fused activation read; onepass_bf16 = onepass "
+                        "with bfloat16 reduction accumulators (accuracy "
+                        "risk on large spatial reductions — convergence-"
+                        "gate before trusting); ghostN (e.g. ghost32) = "
+                        "stats from the first N images only, applied to "
+                        "the whole batch (the ghost-BN subsampling lever, "
+                        "stat pass reads N/B of the activation)")
     p.add_argument("--num-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num-spatial", type=int, default=1)
@@ -1473,6 +1486,9 @@ def main(argv=None):
     p.add_argument("--max-canvas", type=int, default=1024,
                    help="largest on-device canvas bucket; bigger images "
                         "are host-downscaled first")
+    p.add_argument("--max-body-mb", type=int, default=32,
+                   help="per-request POST body cap in MiB (413 beyond it) "
+                        "— bounds host memory per request")
     p.set_defaults(fn=cmd_serve_http)
 
     p = sub.add_parser("imtest",

@@ -60,12 +60,20 @@ def connected_forward(x, p, st, act, *, train, bn_eps,
     y = jnp.dot(x, p["w"].astype(x.dtype),
                 preferred_element_type=jnp.float32, precision=precision)
     if train:
-        mean = jnp.mean(y, axis=0)
-        if bn_stats == "onepass":
-            var = jnp.maximum(jnp.mean(jnp.square(y), axis=0)
-                              - jnp.square(mean), 0.0)
+        if (bn_stats not in ("twopass", "onepass", "onepass_bf16")
+                and not bn_stats.startswith("ghost")):
+            raise ValueError(f"unknown bn_stats {bn_stats!r} (supported: "
+                             "twopass, onepass, onepass_bf16, ghost<N>)")
+        src = (y[:_ghost_rows(bn_stats, y.shape[0])]
+               if bn_stats.startswith("ghost") else y)
+        mean = jnp.mean(src, axis=0)
+        if bn_stats == "twopass":
+            var = jnp.var(src, axis=0)
         else:
-            var = jnp.var(y, axis=0)
+            # onepass family; the FC stat pass is tiny, bf16 accumulation
+            # buys nothing here — onepass_bf16 just takes the onepass form
+            var = jnp.maximum(jnp.mean(jnp.square(src), axis=0)
+                              - jnp.square(mean), 0.0)
         inv = p["gamma"] * lax.rsqrt(var + bn_eps)
         y = y * inv + (p["beta"] - mean * inv)
         return activate(y, act), {"mean": mean, "var": var}
@@ -134,6 +142,14 @@ def batch_norm_inference(x, gamma, beta, mean, var, eps,
     return x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
 
 
+def _ghost_rows(stats: str, batch: int) -> int:
+    """Parse 'ghost<N>' -> rows to keep (clamped to the batch)."""
+    n = int(stats[5:] or 32)
+    if n <= 0:
+        raise ValueError(f"ghost BN sample size must be positive: {stats!r}")
+    return min(n, batch)
+
+
 def batch_norm_train(x, gamma, beta, eps, *, stats: str = "twopass"):
     """Training-mode BN over (B, H, W). Returns (y, batch_mean, batch_var);
     the train loop folds the batch stats into the running averages with the
@@ -142,20 +158,50 @@ def batch_norm_train(x, gamma, beta, eps, *, stats: str = "twopass"):
 
     stats='twopass' (default) is darknet's exact form — mean reduction,
     then E[(x-mean)^2] (src/blas.c variance_cpu), two full reads of the
-    activation. stats='onepass' computes var = E[x^2] - E[x]^2: the two
-    reductions are independent siblings over the same input, so XLA fuses
-    them into ONE activation read — halving the stat-pass HBM traffic that
-    makes the train-mode forward ~1.9x the folded serving forward
-    (PERF_TRAIN.md). f32 accumulation bounds the cancellation error at
-    ~eps*mean^2/var relative (clamped at 0); opt-in because it is not
-    bit-identical to the C."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(0, 1, 2))
-    if stats == "onepass":
-        m2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+    activation. The opt-in variants (not bit-identical to the C) trade
+    exactness for stat-pass HBM traffic, the cost that makes the
+    train-mode forward ~1.9x the folded serving forward (PERF_TRAIN.md):
+
+    - 'onepass': var = E[x^2] - E[x]^2 — the two reductions are
+      independent siblings over the same input, so XLA fuses them into
+      ONE activation read. f32 accumulation bounds the cancellation error
+      at ~eps*mean^2/var relative (clamped at 0).
+    - 'onepass_bf16': the onepass form with bfloat16 reduction
+      accumulators (jnp.mean(dtype=bfloat16)) — probes whether narrowing
+      the reduction itself buys anything beyond onepass. 8-bit-mantissa
+      accumulation over B*H*W elements is a real accuracy risk on 416^2
+      spatial reductions; gate convergence before trusting it
+      (tests/test_train_bf16.py).
+    - 'ghost<N>' (e.g. 'ghost32'): onepass stats computed from only the
+      first N images of the batch, applied to the whole batch — the
+      ghost-batch-norm subsampling lever: the stat pass reads N/B of the
+      activation. Statistically sound for i.i.d. shuffled batches (the
+      estimator is unbiased, just noisier — like training at batch N for
+      the stats while the gradient keeps batch B); the rolling averages
+      blend the same way.
+    """
+    if stats == "onepass_bf16":
+        mean = jnp.mean(x, axis=(0, 1, 2),
+                        dtype=jnp.bfloat16).astype(jnp.float32)
+        m2 = jnp.mean(jnp.square(x.astype(jnp.bfloat16)), axis=(0, 1, 2),
+                      dtype=jnp.bfloat16).astype(jnp.float32)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    elif stats.startswith("ghost"):
+        src = x[:_ghost_rows(stats, x.shape[0])].astype(jnp.float32)
+        mean = jnp.mean(src, axis=(0, 1, 2))
+        m2 = jnp.mean(jnp.square(src), axis=(0, 1, 2))
         var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     else:
-        var = jnp.var(x32, axis=(0, 1, 2))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        if stats == "onepass":
+            m2 = jnp.mean(jnp.square(x32), axis=(0, 1, 2))
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+        elif stats == "twopass":
+            var = jnp.var(x32, axis=(0, 1, 2))
+        else:
+            raise ValueError(f"unknown bn_stats {stats!r} (supported: "
+                             "twopass, onepass, onepass_bf16, ghost<N>)")
     inv = gamma * lax.rsqrt(var + eps)
     y = x * inv.astype(x.dtype) + (beta - mean * inv).astype(x.dtype)
     return y, mean, var

@@ -207,7 +207,8 @@ class BatchingDetector:
         return s
 
 
-def make_handler(batcher: BatchingDetector, model_name: str):
+def make_handler(batcher: BatchingDetector, model_name: str,
+                 max_body_bytes: int = 32 << 20):
     class Handler(BaseHTTPRequestHandler):
         # one detection line per request is plenty; BaseHTTPRequestHandler
         # logs every request to stderr by default
@@ -235,9 +236,21 @@ def make_handler(batcher: BatchingDetector, model_name: str):
             if not self.path.startswith("/detect"):
                 return self._send(404, {"error": "unknown path"})
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    return self._send(400, {"error": "bad Content-Length"})
                 if length <= 0:
                     return self._send(400, {"error": "empty body"})
+                if length > max_body_bytes:
+                    # bound per-request host memory: without this one
+                    # multi-GB POST buffers wholesale before decode. The
+                    # connection is closed unread (reading the oversized
+                    # body to "drain" it would be the same buffering).
+                    self.close_connection = True
+                    return self._send(413, {
+                        "error": f"body {length} bytes exceeds limit "
+                                 f"{max_body_bytes}"})
                 body = self.rfile.read(length)
                 import cv2
                 img = cv2.imdecode(np.frombuffer(body, np.uint8),
@@ -265,14 +278,18 @@ def make_handler(batcher: BatchingDetector, model_name: str):
 def serve_http(detector, *, host: str = "0.0.0.0", port: int = 8000,
                batch_size: int = 8, max_wait_ms: float = 5.0,
                max_canvas: int = 1024, model_name: str = "model",
+               max_body_bytes: int = 32 << 20,
                ready_event: Optional[threading.Event] = None):
     """Run the server until interrupted. Returns (server, batcher) when
-    called with ready_event (test mode: caller drives shutdown)."""
+    called with ready_event (test mode: caller drives shutdown).
+    ``max_body_bytes`` caps a single POST body (413 beyond it) so one
+    oversized upload cannot balloon host memory."""
     batcher = BatchingDetector(detector, batch_size=batch_size,
                                max_wait_ms=max_wait_ms,
                                max_canvas=max_canvas)
-    httpd = ThreadingHTTPServer((host, port),
-                                make_handler(batcher, model_name))
+    httpd = ThreadingHTTPServer(
+        (host, port),
+        make_handler(batcher, model_name, max_body_bytes=max_body_bytes))
     if ready_event is not None:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()

@@ -364,8 +364,9 @@ def run_training(args):
                 cfg, tx, mesh, input_size=size, specs=specs,
                 compute_dtype=cd,
                 remat_every=getattr(args, "remat_every", None),
-                bn_stats="onepass" if getattr(args, "bn_onepass", False)
-                else "twopass",
+                bn_stats=getattr(args, "bn_stats", None)
+                or ("onepass" if getattr(args, "bn_onepass", False)
+                    else "twopass"),
                 **loss_kw)
         return steps[size]
 
