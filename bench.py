@@ -219,13 +219,18 @@ def main():
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         try:
             from tools.bench_train import measure_train
-            # batch 128 is the measured throughput knee on one v5e:
-            # 276 img/s @32, 299 @64, 335 @96, 357 @128, 304 @192 (HBM
-            # pressure past 128 — see PARITY.md)
+            # batch 128 is the measured throughput knee on one v5e
+            # (tools/sweep_train.py: 276 img/s @32, 308 @64, 345 @96,
+            # 350-370 @128 across runs, 297 @160, 309 @192). The recorded
+            # config is the shipped fast path: vectorized truth assignment
+            # (the default — 1-ulp-equal to the C-form scan) + onepass BN
+            # stats (opt-in lever, convergence-gated); darknet-exact
+            # twopass+scan numbers live in PERF_TRAIN.md's lever table.
             tb = int(os.environ.get("BENCH_TRAIN_BATCH", "128"))
+            bs = os.environ.get("BENCH_TRAIN_BN_STATS", "onepass")
             train_extra["train_yolov3_416_bf16"] = measure_train(
                 model="yolov3", size=416, batch=tb, steps=4,
-                compute_dtype="bfloat16")
+                compute_dtype="bfloat16", bn_stats=bs)
         except Exception as e:  # never sink the headline metric
             train_extra["train_bench_error"] = f"{type(e).__name__}: {e}"
 

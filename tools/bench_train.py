@@ -21,7 +21,7 @@ import numpy as np
 
 def measure_train(model="yolov3", size=416, batch=32, steps=4,
                   compute_dtype="bfloat16", remat_every=None,
-                  bn_stats="twopass", truth_assign="scan"):
+                  bn_stats="twopass", truth_assign="vectorized"):
     import jax
     import jax.numpy as jnp
     from yolo_tensorflow_tpu import config as C
@@ -87,7 +87,7 @@ def main():
         remat_every=(int(os.environ["BENCH_TRAIN_REMAT"])
                      if os.environ.get("BENCH_TRAIN_REMAT") else None),
         bn_stats=os.environ.get("BENCH_TRAIN_BN_STATS", "twopass"),
-        truth_assign=os.environ.get("BENCH_TRAIN_TRUTH_ASSIGN", "scan"))
+        truth_assign=os.environ.get("BENCH_TRAIN_TRUTH_ASSIGN", "vectorized"))
     res["device"] = str(jax.devices()[0])
     print(json.dumps(res))
 

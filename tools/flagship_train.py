@@ -1,0 +1,276 @@
+"""Flagship-scale training: FULL yolov3 (Darknet-53 FPN) at 416 on the
+hard 12-class synthetic task, through the PRODUCTION CLI path end-to-end.
+
+Round 3's accuracy evidence all came from tiny models at 160px; this run
+exercises the reference's real training workflow (`train_detector`,
+/root/reference/Darknet2Tensorflow/darknet-master/examples/detector.c:6)
+at the flagship scale:
+
+  1. the hard 12-class dataset rendered to DISK in darknet layout —
+     images/ + labels/*.txt ('cls cx cy w h' rows) + train/valid list
+     files, exactly what scripts/voc_label.py emits and src/data.c
+     fill_truth_detection reads;
+  2. a .cfg emitted by io/cfg.specs_to_cfg — training consumes the same
+     INI format the C parses (src/parser.c:730);
+  3. `cli train --cfg` with --bf16 --eval-every --save-every: the run is
+     deliberately INTERRUPTED at the halfway checkpoint and RESUMED in a
+     fresh process (checkpoint/recovery at scale, detector.c:130
+     save_weights + restart);
+  4. `--qat` fine-tune that resumes the FLOAT checkpoint (the runner's
+     float->QAT workflow, fresh scales) and ships int8-qat.npz;
+  5. final eval suite on the held-out scenes: float mAP@0.5, flip-TTA
+     (darknet + corrected modes), PTQ int8 (in-process calibrate on train
+     scenes, ops/quant.py), QAT int8 — all through the batched
+     prefetching eval pipeline (eval/batched.py).
+
+Usage:  PYTHONPATH=. python tools/flagship_train.py [--root DIR]
+            [--steps 6000] [--batch 32] [--n-train 4000] [--n-val 200]
+
+Results of record are appended to tools/synthetic_train_demo.py's header
+and quoted in bench.py's extras.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.synthetic_train_demo import HARD_CLASSES, make_scene  # noqa: E402
+
+# flagship scale; FLAGSHIP_SIZE=160 exists for the CPU smoke of this tool
+SIZE = int(os.environ.get("FLAGSHIP_SIZE", "416"))
+
+
+def gen_dataset(root, n_train, n_val, size=SIZE):
+    """Render the task to disk in darknet layout. Returns (lists, names)."""
+    import cv2
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    lists = {}
+    for split, n, seed in (("train", n_train, 11), ("valid", n_val, 777)):
+        rng = np.random.default_rng(seed)
+        paths = []
+        t0 = time.time()
+        for i in range(n):
+            img, boxes = make_scene(rng, hard=True, size=size)
+            name = f"{split}_{i:05d}"
+            p = os.path.abspath(os.path.join(root, "images", name + ".png"))
+            cv2.imwrite(p, img[..., ::-1])
+            with open(os.path.join(root, "labels", name + ".txt"), "w") as f:
+                for cx, cy, w, h, c in boxes:
+                    f.write(f"{int(c)} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f}\n")
+            paths.append(p)
+        lf = os.path.join(root, split + ".txt")
+        with open(lf, "w") as f:
+            f.write("\n".join(paths) + "\n")
+        lists[split] = lf
+        print(f"wrote {n} {split} scenes in {time.time()-t0:.0f}s", flush=True)
+    names = os.path.join(root, "shapes.names")
+    with open(names, "w") as f:
+        f.write("\n".join(HARD_CLASSES) + "\n")
+    return lists, names
+
+
+def emit_cfg(root, size=SIZE):
+    """The 12-class yolov3 .cfg the CLI trains from (specs_to_cfg)."""
+    import dataclasses
+    from yolo_tensorflow_tpu import config as C
+    from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
+    cfg = dataclasses.replace(C.get_config("yolov3", input_size=size),
+                              custom_classes=HARD_CLASSES)
+    text = specs_to_cfg(cfg, batch=32)
+    path = os.path.join(root, "yolov3-shapes12.cfg")
+    with open(path, "w") as f:
+        f.write(text)
+    return path, cfg
+
+
+def run_cli(args_list, log_path):
+    """One production-CLI invocation in a FRESH process (so resume is a
+    real cross-process restore, not same-process state)."""
+    cmd = [sys.executable, "-m", "yolo_tensorflow_tpu.cli"] + args_list
+    print(f"$ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    with open(log_path, "a") as lf:
+        lf.write(f"\n$ {' '.join(cmd)}\n")
+        lf.flush()
+        r = subprocess.run(cmd, stdout=lf, stderr=subprocess.STDOUT,
+                           cwd=os.path.join(os.path.dirname(__file__), ".."))
+    dt = time.time() - t0
+    print(f"  -> exit {r.returncode} in {dt:.0f}s (log: {log_path})",
+          flush=True)
+    if r.returncode != 0:
+        with open(log_path) as lf:
+            print(lf.read()[-4000:])
+        raise SystemExit(f"CLI phase failed: {' '.join(args_list[:4])}")
+    return dt
+
+
+def load_valid(root):
+    """Held-out scenes + GT from the on-disk valid split (the same files
+    the in-training --eval-every consumed)."""
+    import cv2
+    from yolo_tensorflow_tpu.data.datasets import load_darknet_list
+    samples = load_darknet_list(os.path.join(root, "valid.txt"))
+    imgs, gts = [], []
+    for s in samples:
+        img = cv2.cvtColor(cv2.imread(s.image_path), cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        b = s.boxes
+        gts.append({
+            "boxes": np.stack([(b[:, 0] - b[:, 2] / 2) * w,
+                               (b[:, 1] - b[:, 3] / 2) * h,
+                               (b[:, 0] + b[:, 2] / 2) * w,
+                               (b[:, 1] + b[:, 3] / 2) * h], 1)
+            if len(b) else np.zeros((0, 4), np.float32),
+            "classes": b[:, 4].astype(np.int32) if len(b)
+            else np.zeros((0,), np.int32)})
+        imgs.append(img)
+    return imgs, gts
+
+
+def eval_suite(cfg, specs, state, root, log=print):
+    import jax
+    from yolo_tensorflow_tpu.eval.batched import detect_images
+    from yolo_tensorflow_tpu.eval.map import evaluate_detections
+    from yolo_tensorflow_tpu.io.weights import fold_params
+    from yolo_tensorflow_tpu.pipeline import Detector
+
+    imgs, gts = load_valid(root)
+    folded = fold_params(state.params, state.batch_stats, cfg.bn_eps)
+    results = {}
+
+    def run(label, det):
+        det.detect_batch(np.zeros((8, SIZE, SIZE, 3), np.uint8))  # warm
+        t0 = time.time()
+        res = detect_images(det, imgs, batch_size=8, num_workers=4)
+        dt = time.time() - t0
+        dets = [{
+            "boxes": np.asarray([r["box"] for r in rr],
+                                np.float32).reshape(-1, 4),
+            "scores": np.asarray([r["score"] for r in rr], np.float32),
+            "classes": np.asarray([r["class_id"] for r in rr], np.int32)}
+            for rr in res]
+        out = evaluate_detections(dets, gts, len(HARD_CLASSES))
+        log(f"{label}: mAP@0.5 = {out['map']:.4f} "
+            f"({len(imgs)/dt:.0f} img/s batched eval)")
+        results[label] = round(out["map"], 4)
+        return out
+
+    base = run("float bf16", Detector(cfg, params=folded, specs=specs,
+                                      conf_threshold=0.3,
+                                      iou_threshold=0.45,
+                                      max_detections=20))
+    for mode in ("darknet", "corrected"):
+        run(f"flip-TTA[{mode}]",
+            Detector(cfg, params=folded, specs=specs, conf_threshold=0.3,
+                     iou_threshold=0.45, max_detections=20, tta=True,
+                     tta_mode=mode))
+
+    # PTQ: calibrate on train scenes read back from disk (the production
+    # calibration source), quantize, re-evaluate
+    import cv2
+    from yolo_tensorflow_tpu.ops import quant as Q
+    with open(os.path.join(root, "train.txt")) as f:
+        calib_paths = [line.strip() for line in f][:64]
+    calib_imgs = np.stack([
+        cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        for p in calib_paths])
+    calib = [calib_imgs[i:i + 8] for i in range(0, len(calib_imgs), 8)]
+    scales = Q.calibrate_activations(specs, folded, calib, cfg=cfg)
+    qparams = Q.quantize_params(specs, folded, scales)
+    run("int8 PTQ", Detector(cfg, params=qparams, specs=specs,
+                             conf_threshold=0.3, iou_threshold=0.45,
+                             max_detections=20))
+
+    # QAT: the int8-qat.npz the --qat CLI phase shipped
+    qat_npz = os.path.join(root, "ckpts", "int8-qat.npz")
+    if os.path.exists(qat_npz):
+        with np.load(qat_npz) as z:
+            qp = {}
+            for k in z.files:
+                layer, field = k.rsplit("/", 1)
+                qp.setdefault(layer, {})[field] = z[k]
+        run("int8 QAT", Detector(cfg, params=qp, specs=specs,
+                                 conf_threshold=0.3, iou_threshold=0.45,
+                                 max_detections=20))
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/flagship12")
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n-train", type=int, default=4000)
+    ap.add_argument("--n-val", type=int, default=200)
+    ap.add_argument("--qat-steps", type=int, default=800)
+    ap.add_argument("--eval-every", type=int, default=1000)
+    ap.add_argument("--save-every", type=int, default=500)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="dataset+ckpts already exist: just run the suite")
+    args = ap.parse_args()
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    log_path = os.path.join(root, "train.log")
+
+    if not args.skip_train:
+        if not os.path.exists(os.path.join(root, "valid.txt")):
+            gen_dataset(root, args.n_train, args.n_val)
+        cfg_path, _ = emit_cfg(root)
+        common = ["train", "--cfg", cfg_path,
+                  "--list", os.path.join(root, "train.txt"),
+                  "--val-list", os.path.join(root, "valid.txt"),
+                  "--names", os.path.join(root, "shapes.names"),
+                  "--ckpt-dir", os.path.join(root, "ckpts"),
+                  "--batch-size", str(args.batch), "--bf16",
+                  "--eval-every", str(args.eval_every),
+                  "--save-every", str(args.save_every),
+                  "--log-every", "100"]
+        half = args.steps // 2
+        # phase 1: train to the halfway point, then the process EXITS —
+        # the "interruption"
+        run_cli(common + ["--steps", str(half), "--lr", "1e-3",
+                          "--burn-in", "500"], log_path)
+        # phase 2: fresh process resumes from the checkpoint and finishes
+        run_cli(common + ["--steps", str(args.steps), "--lr", "1e-3",
+                          "--burn-in", "500"], log_path)
+        # phase 3: float->QAT fine-tune from the float checkpoint
+        run_cli(common + ["--steps", str(args.steps + args.qat_steps),
+                          "--lr", "1e-4", "--burn-in", "20", "--qat"],
+                log_path)
+
+    # final suite: restore the FLOAT checkpoint of record (the QAT phase
+    # saved later steps; the float eval wants the step-<steps> state)
+    import dataclasses
+    import jax
+    from yolo_tensorflow_tpu import config as C
+    from yolo_tensorflow_tpu.io import checkpoint as ckpt
+    from yolo_tensorflow_tpu.train import loop as T
+    cfg = dataclasses.replace(C.get_config("yolov3", input_size=SIZE),
+                              custom_classes=HARD_CLASSES)
+    specs = C.build_specs(cfg)
+    tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=500))
+    template = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+                                    input_size=SIZE)
+    ckpt_dir = os.path.join(root, "ckpts")
+    target = os.path.join(ckpt_dir, f"ckpt-{args.steps}.npz")
+    if os.path.exists(target):
+        # restore the exact float state (the dir's LATEST is the QAT one)
+        state, step = ckpt.load_pytree_npz(template, target), args.steps
+    else:
+        state, step = ckpt.restore_train_state(template, ckpt_dir)
+    print(f"evaluating float checkpoint at step {step}", flush=True)
+    results = eval_suite(cfg, specs, state, root)
+    print(json.dumps({"flagship": "yolov3-416 hard12", "step": int(step),
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()

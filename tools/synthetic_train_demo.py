@@ -114,51 +114,56 @@ def _draw_shape(cv2, img, cls, cx, cy, s, color, rng):
     return None
 
 
-def make_scene(rng, hard=False):
+def make_scene(rng, hard=False, size=SIZE):
+    """One synthetic scene at ``size``x``size``. Geometry (shape sizes,
+    clutter density) scales with size/SIZE so the 416px flagship task is
+    the same distribution as the 160px one, just rendered larger."""
     import cv2
-    img = rng.integers(0, 60, (SIZE, SIZE, 3), dtype=np.uint8)
+    sc = size / SIZE
+    img = rng.integers(0, 60, (size, size, 3), dtype=np.uint8)
     ncls = len(HARD_CLASSES) if hard else 3
     if hard:
         # clutter that is not an object: dim lines and tiny specks
         for _ in range(int(rng.integers(2, 6))):
-            p0 = tuple(int(v) for v in rng.integers(0, SIZE, 2))
-            p1 = tuple(int(v) for v in rng.integers(0, SIZE, 2))
+            p0 = tuple(int(v) for v in rng.integers(0, size, 2))
+            p1 = tuple(int(v) for v in rng.integers(0, size, 2))
             cv2.line(img, p0, p1,
                      tuple(int(c) for c in rng.integers(40, 100, 3)),
-                     int(rng.integers(1, 3)))
+                     max(1, int(rng.integers(1, 3) * sc)))
         for _ in range(int(rng.integers(0, 8))):
-            cv2.circle(img, tuple(int(v) for v in rng.integers(0, SIZE, 2)),
-                       int(rng.integers(1, 3)),
+            cv2.circle(img, tuple(int(v) for v in rng.integers(0, size, 2)),
+                       max(1, int(rng.integers(1, 3) * sc)),
                        tuple(int(c) for c in rng.integers(40, 110, 3)), -1)
     boxes = []
     lo, hi = (16, 56) if hard else (24, 64)
+    lo, hi = max(6, int(lo * sc)), int(hi * sc)
     for _ in range(int(rng.integers(1, 6 if hard else 4))):
         cls = int(rng.integers(0, ncls))
         s = int(rng.integers(lo, hi))
-        cx = int(rng.integers(s // 2 + 2, SIZE - s // 2 - 2))
-        cy = int(rng.integers(s // 2 + 2, SIZE - s // 2 - 2))
+        cx = int(rng.integers(s // 2 + 2, size - s // 2 - 2))
+        cy = int(rng.integers(s // 2 + 2, size - s // 2 - 2))
         color = tuple(int(c) for c in rng.integers(120, 255, 3))
         tight = _draw_shape(cv2, img, cls, cx, cy, s, color, rng)
         if tight is None:
             tight = (cx - s // 2, cy - s // 2, cx + s // 2, cy + s // 2)
         x0, y0, x1, y1 = tight
-        boxes.append([(x0 + x1) / 2 / SIZE, (y0 + y1) / 2 / SIZE,
-                      (x1 - x0) / SIZE, (y1 - y0) / SIZE, cls])
+        boxes.append([(x0 + x1) / 2 / size, (y0 + y1) / 2 / size,
+                      (x1 - x0) / size, (y1 - y0) / size, cls])
     return img, np.asarray(boxes, np.float32)
 
 
-def make_batch(rng, n, max_boxes=8, hard=False):
+def make_batch(rng, n, max_boxes=8, hard=False, size=SIZE):
     from yolo_tensorflow_tpu.data.augment import pad_truths
-    imgs = np.empty((n, SIZE, SIZE, 3), np.uint8)
+    imgs = np.empty((n, size, size, 3), np.uint8)
     tr = np.empty((n, max_boxes, 5), np.float32)
     for i in range(n):
-        imgs[i], b = make_scene(rng, hard=hard)
+        imgs[i], b = make_scene(rng, hard=hard, size=size)
         tr[i] = pad_truths(b, max_boxes)
     return imgs, tr
 
 
 def main(steps=1200, batch=32, model="yolov3-tiny", hard=False,
-         bn_stats="twopass"):
+         bn_stats="twopass", seed=0):
     import dataclasses
     import jax
     from yolo_tensorflow_tpu import config as C
@@ -182,7 +187,7 @@ def main(steps=1200, batch=32, model="yolov3-tiny", hard=False,
         cfg = C.get_config(model, input_size=SIZE)
     tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=100),
                           weight_decay=5e-4)
-    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(0),
+    state = T.create_train_state(cfg, tx, jax.random.PRNGKey(seed),
                                  input_size=SIZE)
     import jax.numpy as jnp
     # the hard run trains mixed-precision (the production mode); the
@@ -192,7 +197,7 @@ def main(steps=1200, batch=32, model="yolov3-tiny", hard=False,
         compute_dtype=jnp.bfloat16 if hard else None,
         bn_stats=bn_stats), donate_argnums=(0,))
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     pool = [make_batch(rng, batch, hard=hard)
             for _ in range(80 if hard else 40)]  # fresh-ish data
     print(f"training {cfg.name} on synthetic shapes: {steps} steps, "
@@ -279,7 +284,7 @@ def main(steps=1200, batch=32, model="yolov3-tiny", hard=False,
     state_q = T.TrainState(
         params=state.params, batch_stats=state.batch_stats,
         opt_state=tx_ft.init(state.params), step=jnp.int32(0),
-        rng=jax.random.PRNGKey(7), qat_scales=QA.init_scales(specs))
+        rng=jax.random.PRNGKey(7 + seed), qat_scales=QA.init_scales(specs))
     step_q = jax.jit(T.make_train_step(
         cfg, tx_ft, input_size=SIZE,
         compute_dtype=jnp.bfloat16 if hard else None,
@@ -307,4 +312,6 @@ if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 1200,
          model=sys.argv[2] if len(sys.argv) > 2 else "yolov3-tiny",
          hard="hard" in sys.argv[3:],
-         bn_stats="onepass" if "onepass" in sys.argv[3:] else "twopass")
+         bn_stats="onepass" if "onepass" in sys.argv[3:] else "twopass",
+         seed=next((int(a[5:]) for a in sys.argv[3:]
+                    if a.startswith("seed=")), 0))

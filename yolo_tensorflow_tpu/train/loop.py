@@ -265,7 +265,7 @@ def loss_for_config(cfg: C.ModelConfig, specs, raw_scales, truths, *,
                     seen=None, v2_variant: str = "darknet",
                     region_hyper: Optional[losses.RegionHyper] = None,
                     detection_hyper: Optional[losses.DetectionHyper] = None,
-                    truth_assign: str = "scan"):
+                    truth_assign: str = "vectorized"):
     """Dispatch to the loss for the model family.
 
     v2 trains with darknet's region_layer.c semantics by default (rescore,

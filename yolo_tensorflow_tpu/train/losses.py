@@ -60,7 +60,7 @@ def _box_iou_xywh(a, b):
 
 def _v3_scale_delta(raw, truths, anchors_all, mask, input_size,
                     ignore_thresh, truth_thresh, num_classes,
-                    truth_assign: str = "scan"):
+                    truth_assign: str = "vectorized"):
     """Per-scale delta for one image.
 
     raw: (G, G, A*(5+C)) raw conv output (NHWC cell layout, anchor-major).
@@ -248,7 +248,7 @@ def _assign_vectorized(delta, truths, anchors_all, anchors_norm, mask_arr,
 
 def yolo_v3_loss(raw_scales, truths, cfg, *, anchor_masks,
                  ignore_thresh=0.5, truth_thresh=1.0,
-                 truth_assign: str = "scan"):
+                 truth_assign: str = "vectorized"):
     """Full v3 loss over all FPN scales.
 
     raw_scales: list of (B, G, G, A*(5+C)) raw feature maps (spec order).
@@ -256,9 +256,12 @@ def yolo_v3_loss(raw_scales, truths, cfg, *, anchor_masks,
     Returns (loss, metrics); ``loss`` backpropagates darknet's exact delta,
     its *value* is sum(delta^2) (darknet's printed cost), metrics mirror the
     Region-line stats (yolo_layer.c:241). ``truth_assign`` selects the
-    sequential per-truth scan ("scan", the literal C form) or the one-shot
-    scatter with an explicit last-writer-wins mask ("vectorized") — deltas
-    agree to 1 ulp, metric sums differ only by f32 reassociation.
+    one-shot scatter with an explicit last-writer-wins mask ("vectorized",
+    the default — the TPU-idiomatic form, measured 430 vs 368 img/s
+    full-step at 416/batch-128, tools/sweep_train.py) or the sequential
+    per-truth fori-loop ("scan", the literal yolo_layer.c form kept as the
+    transcription reference) — deltas agree to 1 ulp, metric sums differ
+    only by f32 reassociation (tests/test_losses.py).
     """
     anchors_all = jnp.asarray(cfg.anchors, jnp.float32)
     total_cost = 0.0
