@@ -116,9 +116,9 @@ def main():
     # with uniform placeholder activation scales — numerically identical
     # work per layer (same dtypes/shapes/fusions), so the img/s is the
     # same either way, but the calibrated path is the honest full loop.
-    # mAP delta of calibrated int8: -0.021 on the hard 12-class shapes
-    # model, +0.035 noise on the saturated 3-class toy
-    # (tools/synthetic_train_demo.py).
+    # mAP delta of calibrated int8: -0.015 +- 0.005 over 3 seeds on the
+    # hard 12-class shapes model, +0.035 noise on the saturated 3-class
+    # toy (tools/synthetic_train_demo.py).
     qfile = os.environ.get("BENCH_QPARAMS")
     if qfile:
         with np.load(qfile) as z:
@@ -244,11 +244,13 @@ def main():
                   "bf16_vs_baseline": round(ips_bf16 / 1500.0, 3),
                   "letterbox_fused_int8_images_per_sec": round(ips_lb, 1),
                   "letterbox_fused_int8_by_canvas_bucket": lb_buckets,
-                  "int8_map_delta_on_synthetic_model": "-0.021 on the "
-                  "12-class hard synthetic task (held-out mAP 0.679 -> "
-                  "0.658; the non-saturated regime where the delta is "
-                  "signal). The saturated 3-class toy shows +0.035 "
-                  "(noise). See tools/synthetic_train_demo.py",
+                  "int8_map_delta_on_synthetic_model": "-0.015 +- 0.005 "
+                  "mAP over 3 seeds on the 12-class hard synthetic task "
+                  "(the non-saturated regime where the delta is signal); "
+                  "a 700-step QAT fine-tune recovers +0.041 +- 0.018 of "
+                  "it, the full PTQ loss in every seed. The saturated "
+                  "3-class toy shows +0.035 (noise). Per-run table in "
+                  "tools/synthetic_train_demo.py",
                   "batch": batch, "iters_chained": iters,
                   "p50_batch_e2e_ms_incl_host_readback": round(p50_ms, 2),
                   "batch1_device_latency_ms_int8": round(batch1_ms, 3),

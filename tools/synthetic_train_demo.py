@@ -32,6 +32,25 @@ Recorded runs (one TPU v5e chip, from-scratch, no tuning):
     flip-TTA[corrected] 0.7228 (delta +0.0443)   <- proper mirroring wins
     int8 (w8a8)         0.6579 (delta -0.0206)   <- the honest int8 cost:
                          ~2 mAP points from w8a8 PTQ at mid-range accuracy
+  Round 4 onepass-BN convergence A/B (append `hard onepass`; same task,
+  seed 0, vectorized truth assign — the 1-ulp-equal default):
+    held-out mAP@0.5 = 0.6906 (vs twopass 0.6785: +0.012, inside the
+    seed spread below -> the onepass stat lever costs nothing measurable
+    at convergence; PERF_TRAIN.md §4-5)
+    flip-TTA[darknet]   0.6089 (-0.0817)  flip-TTA[corrected] 0.7218 (+0.0312)
+    int8 PTQ 0.6720 (-0.0185)   int8 QAT 0.6828 (-0.0078 vs float,
+                                                 +0.0107 vs PTQ)
+  Round 4 QAT seed study (`hard seed=N`, twopass, 3500 steps + 700 QAT
+  fine-tune steps; held-out mAP@0.5):
+    seed | float  | int8 PTQ        | int8 QAT (vs float / vs PTQ)
+      0  | 0.6785 | 0.6579 (-0.021) | 0.7024 (+0.024 / +0.045)
+      1  | 0.6674 | 0.6519 (-0.016) | 0.6701 (+0.003 / +0.018)
+      2  | 0.6487 | 0.6387 (-0.010) | 0.6993 (+0.051 / +0.061)
+    QAT recovers the FULL PTQ loss in every run (+0.041+-0.018 over PTQ)
+    and lands at-or-above float in all three — but the above-float part
+    is seed-noise-sized (the onepass run above shows -0.008) and partly
+    the extra 700 steps; the round-3 "QAT beats float" headline is
+    softened accordingly (README "Performance").
 """
 
 import os
