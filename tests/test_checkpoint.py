@@ -82,3 +82,37 @@ def test_checkpoint_has_field(tmp_path):
     assert not ckpt.checkpoint_has_field(fdir, "qat_scales")
     assert not ckpt.checkpoint_has_field(str(tmp_path / "nope"),
                                          "qat_scales")
+
+
+def test_crashed_save_leaves_previous_checkpoint_usable(tmp_path,
+                                                        monkeypatch):
+    """Atomic-save gate: a process killed mid-save (the truncated-npz
+    failure darknet's in-place save_weights is exposed to,
+    src/parser.c:992) must leave no partial ckpt-N.npz under its final
+    name and must not move the latest pointer — resume still lands on the
+    last complete checkpoint."""
+    cfg, tx, state = _state()
+    ckpt.save_train_state(state, str(tmp_path), 10)
+
+    real_savez = np.savez
+
+    def dying_savez(f, **kw):
+        # write a partial byte stream, then "crash"
+        keys = list(kw)
+        real_savez(f, **{k: kw[k] for k in keys[:2]})
+        raise KeyboardInterrupt("simulated kill mid-save")
+
+    monkeypatch.setattr(np, "savez", dying_savez)
+    try:
+        ckpt.save_train_state(state, str(tmp_path), 20)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.undo()
+
+    # no corrupt final-name file, no leftover temp, pointer unmoved
+    assert not (tmp_path / "ckpt-20.npz").exists()
+    assert not list(tmp_path.glob("*.tmp"))
+    restored, step = ckpt.restore_train_state(state, str(tmp_path))
+    assert step == 10
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -37,8 +37,23 @@ def _path_str(p) -> str:
     return f"n:{p.name}" if hasattr(p, "name") else str(p)
 
 
+def _atomic_savez(path: str, flat: Dict[str, np.ndarray]) -> None:
+    """Write-to-temp + rename so a crash mid-save (the failure mode of
+    darknet's in-place save_weights, src/parser.c:992) can never leave a
+    truncated checkpoint under the final name. The file-object form keeps
+    np.savez from appending '.npz' to the temp name."""
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
 def save_pytree_npz(tree, path: str) -> None:
-    np.savez(path, **_flatten(tree))
+    _atomic_savez(path, _flatten(tree))
 
 
 def load_pytree_npz(template, path: str):
@@ -63,7 +78,7 @@ def save_params_npz(params: Dict, path: str) -> None:
     (convert/quantize outputs, detect/eval inputs)."""
     flat = {f"{layer}/{field}": np.asarray(v)
             for layer, d in params.items() for field, v in d.items()}
-    np.savez(path, **flat)
+    _atomic_savez(path, flat)
 
 
 def save_train_state(state, ckpt_dir: str, step: int, *, keep: int = 3) -> str:
@@ -72,8 +87,10 @@ def save_train_state(state, ckpt_dir: str, step: int, *, keep: int = 3) -> str:
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"ckpt-{step}.npz")
     save_pytree_npz(state, path)
-    with open(os.path.join(ckpt_dir, "latest.json"), "w") as f:
+    latest = os.path.join(ckpt_dir, "latest.json")
+    with open(latest + ".tmp", "w") as f:
         json.dump({"step": step, "file": os.path.basename(path)}, f)
+    os.replace(latest + ".tmp", latest)
     ckpts = sorted(
         (f for f in os.listdir(ckpt_dir)
          if re.fullmatch(r"ckpt-\d+\.npz", f)),
