@@ -241,3 +241,47 @@ def test_voc_label_writer_roundtrip(tmp_path):
     assert len(samples) == 2
     np.testing.assert_allclose(samples[0].boxes[0],
                                [0.5, 0.5, 0.5, 0.5, 11], atol=1e-6)
+
+
+def test_loader_image_cache_decodes_once_and_stays_exact():
+    """--cache-images gate: epoch 2+ never re-hits the codec, cached
+    pixels are immutable (augmenters write into fresh canvases), and the
+    batch stream is bit-identical to the uncached loader. Also pins the
+    byte budget: past it, reads fall through to the codec instead of
+    growing without bound."""
+    samples = [D.Sample(f"mem://{i}",
+                        np.asarray([[0.5, 0.5, 0.5, 0.5, 0]], np.float32))
+               for i in range(8)]
+    calls = {"n": 0}
+
+    def read_fn(path):
+        calls["n"] += 1
+        i = int(path.split("//")[1])
+        rng = np.random.default_rng(i)
+        return rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)
+
+    def run(cache, epochs, **kw):
+        loader = DetectionLoader(samples, batch_size=4, size=48, train=True,
+                                 num_workers=2, seed=7, read_fn=read_fn,
+                                 cache_images=cache, **kw)
+        out = []
+        for _ in range(epochs):
+            out.extend(loader.epoch())
+        return out
+
+    calls["n"] = 0
+    plain = run(False, 2)
+    assert calls["n"] == 16  # every epoch decodes every image
+
+    calls["n"] = 0
+    cached = run(True, 2)
+    assert calls["n"] == 8  # second epoch served from RAM
+
+    for (ia, ta), (ib, tb) in zip(plain, cached):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
+
+    # budget: room for ~2 frames (70*90*3 = 18900 B) -> the rest re-decode
+    calls["n"] = 0
+    run(True, 2, cache_bytes=40_000)
+    assert 8 < calls["n"] <= 14

@@ -1204,6 +1204,14 @@ def main(argv=None):
                         "stats from the first N images only, applied to "
                         "the whole batch (the ghost-BN subsampling lever, "
                         "stat pass reads N/B of the activation)")
+    p.add_argument("--cache-images", action="store_true",
+                   help="cache decoded frames in host RAM (bounded, "
+                        "4 GiB): darknet re-decodes every image every "
+                        "epoch (load_data_detection, src/data.c:957); for "
+                        "datasets that fit, this pays the codec once and "
+                        "keeps the host cores for augmentation — the "
+                        "loader, not the TPU step, is the throughput "
+                        "ceiling on core-starved hosts")
     p.add_argument("--num-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--num-spatial", type=int, default=1)

@@ -42,7 +42,9 @@ class DetectionLoader:
                  num_workers: int = 8, prefetch: int = 4, seed: int = 0,
                  jitter: float = 0.3, hue: float = 0.1, sat: float = 1.5,
                  exposure: float = 1.5,
-                 read_fn: Callable[[str], np.ndarray] = _read_image_rgb):
+                 read_fn: Callable[[str], np.ndarray] = _read_image_rgb,
+                 cache_images: bool = False,
+                 cache_bytes: int = 4 << 30):
         self.samples = list(samples)
         self.batch_size = batch_size
         self._size = size
@@ -54,9 +56,35 @@ class DetectionLoader:
         self.aug = dict(jitter=jitter, hue=hue, sat=sat, exposure=exposure)
         self.read_fn = read_fn
         self._epoch = 0
+        # opt-in decoded-pixel cache: darknet re-decodes every image every
+        # epoch (load_data_detection -> load_image, src/data.c:957); next
+        # to a TPU the host cores are the scarce resource, so for datasets
+        # that fit in RAM we keep decoded uint8 frames (read-only — the
+        # augmenters write into fresh canvases, never the source) and pay
+        # the codec once. Bounded by cache_bytes; past the budget reads
+        # fall through to the codec.
+        self._cache = {} if cache_images else None
+        self._cache_budget = cache_bytes
+        self._cache_used = 0
+        self._cache_lock = threading.Lock()
 
     def set_size(self, size: int):
         self._size = size
+
+    def _read(self, path: str) -> np.ndarray:
+        if self._cache is None:
+            return self.read_fn(path)
+        img = self._cache.get(path)
+        if img is None:
+            img = self.read_fn(path)
+            img.setflags(write=False)
+            with self._cache_lock:
+                if (path not in self._cache
+                        and self._cache_used + img.nbytes
+                        <= self._cache_budget):
+                    self._cache[path] = img
+                    self._cache_used += img.nbytes
+        return img
 
     def _use_native(self) -> bool:
         if not self.train:
@@ -76,7 +104,7 @@ class DetectionLoader:
         raws, params = [], []
         for k, si in enumerate(idx):
             sample = self.samples[si]
-            img = self.read_fn(sample.image_path)
+            img = self._read(sample.image_path)
             boxes = sample.boxes
             if self.train:
                 h, w = img.shape[:2]

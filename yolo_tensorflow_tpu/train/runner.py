@@ -351,7 +351,10 @@ def run_training(args):
                          "(darknet's v1-era trainer, examples/yolo.c, has "
                          "no multi-scale either)")
     loader = DetectionLoader(samples, local_batch, cfg.input_size,
-                             train=True, **aug_kw)
+                             train=True,
+                             cache_images=bool(getattr(args, "cache_images",
+                                                       False)),
+                             **aug_kw)
     # one compiled step per input size (multi-scale), darknet resizes the
     # net every 10 batches; XLA compile cache plays that role here
     steps = {}
