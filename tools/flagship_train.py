@@ -43,8 +43,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from tools.synthetic_train_demo import HARD_CLASSES, make_scene  # noqa: E402
 
-# flagship scale; FLAGSHIP_SIZE=160 exists for the CPU smoke of this tool
+# flagship scale; FLAGSHIP_SIZE/FLAGSHIP_MODEL exist so the CPU gate
+# (tests/test_flagship_smoke.py) can drive the SAME phases tiny and fast
 SIZE = int(os.environ.get("FLAGSHIP_SIZE", "416"))
+MODEL = os.environ.get("FLAGSHIP_MODEL", "yolov3")
 
 
 def gen_dataset(root, n_train, n_val, size=SIZE):
@@ -82,10 +84,10 @@ def emit_cfg(root, size=SIZE):
     import dataclasses
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
-    cfg = dataclasses.replace(C.get_config("yolov3", input_size=size),
+    cfg = dataclasses.replace(C.get_config(MODEL, input_size=size),
                               custom_classes=HARD_CLASSES)
     text = specs_to_cfg(cfg, batch=32)
-    path = os.path.join(root, "yolov3-shapes12.cfg")
+    path = os.path.join(root, f"{MODEL}-shapes12.cfg")
     with open(path, "w") as f:
         f.write(text)
     return path, cfg
@@ -232,6 +234,10 @@ def main():
                   "--batch-size", str(args.batch), "--bf16",
                   "--eval-every", str(args.eval_every),
                   "--save-every", str(args.save_every),
+                  # one-core host + remote-tunnel chip: PNG decode is the
+                  # loop bottleneck, so cache decoded images after epoch 1
+                  # (4000 x 416^2 x 3 ~ 2.1 GB, within the default budget)
+                  "--cache-images",
                   "--log-every", "100"]
         half = args.steps // 2
         # phase 1: train to the halfway point, then the process EXITS —
@@ -253,7 +259,7 @@ def main():
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.io import checkpoint as ckpt
     from yolo_tensorflow_tpu.train import loop as T
-    cfg = dataclasses.replace(C.get_config("yolov3", input_size=SIZE),
+    cfg = dataclasses.replace(C.get_config(MODEL, input_size=SIZE),
                               custom_classes=HARD_CLASSES)
     specs = C.build_specs(cfg)
     tx = T.make_optimizer(T.darknet_lr_schedule(1e-3, burn_in=500))
@@ -268,7 +274,7 @@ def main():
         state, step = ckpt.restore_train_state(template, ckpt_dir)
     print(f"evaluating float checkpoint at step {step}", flush=True)
     results = eval_suite(cfg, specs, state, root)
-    print(json.dumps({"flagship": "yolov3-416 hard12", "step": int(step),
+    print(json.dumps({"flagship": f"{MODEL}-{SIZE} hard12", "step": int(step),
                       "results": results}))
 
 
