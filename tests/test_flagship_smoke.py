@@ -31,7 +31,7 @@ def test_flagship_phases_end_to_end(tmp_path):
         "JAX_PLATFORMS": "cpu",
         "FLAGSHIP_SIZE": "96",
         "FLAGSHIP_MODEL": "yolov3-tiny",
-        "PYTHONPATH": REPO,
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
     })
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "flagship_train.py"),
@@ -44,7 +44,7 @@ def test_flagship_phases_end_to_end(tmp_path):
     # the three CLI phases really ran as separate processes, and phase 2
     # resumed from phase 1's checkpoint rather than restarting
     log = (tmp_path / "train.log").read_text()
-    assert log.count("$ ") == 3, log
+    assert log.count("\n$ ") == 3, log
     assert "resumed from step 3" in log, log
     # the QAT phase shipped the int8 artifact the suite consumes
     assert (tmp_path / "ckpts" / "int8-qat.npz").exists()

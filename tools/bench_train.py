@@ -21,7 +21,8 @@ import numpy as np
 
 def measure_train(model="yolov3", size=416, batch=32, steps=4,
                   compute_dtype="bfloat16", remat_every=None,
-                  bn_stats="twopass", truth_assign="vectorized"):
+                  bn_stats="twopass", truth_assign="vectorized",
+                  repeats=3):
     import jax
     import jax.numpy as jnp
     from yolo_tensorflow_tpu import config as C
@@ -59,13 +60,19 @@ def measure_train(model="yolov3", size=416, batch=32, steps=4,
     cost = np.asarray(metrics["cost"])
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    state, metrics = step_fn(state, images, truths)
-    cost = np.asarray(metrics["cost"])
-    dt = time.perf_counter() - t0
+    # median-of-`repeats` timed dispatches: one stalled tunnel window must
+    # not become the number of record (see bench.py docstring)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, images, truths)
+        cost = np.asarray(metrics["cost"])
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples))
     return {
         "train_images_per_sec": round(steps * batch / dt, 1),
         "step_ms": round(dt / steps * 1e3, 2),
+        "spread_img_per_sec": [round(steps * batch / s, 1) for s in samples],
         "loss_finite": bool(np.isfinite(cost.sum())),
         "compile_s": round(compile_s, 1),
         "batch": batch, "steps_per_dispatch": steps,
