@@ -27,6 +27,11 @@ def _add_model_args(p, weights_required=True):
                    help="registry model (or use --cfg for any darknet cfg)")
     p.add_argument("--cfg", help="arbitrary darknet .cfg file")
     p.add_argument("--names", help="class-names file (one per line, for --cfg)")
+    p.add_argument("--data",
+                   help="darknet .data key-value file (read_data_cfg, "
+                        "src/option_list.c:7): names/labels, train/valid "
+                        "lists, backup dir, classifier top, eval= writer "
+                        "type — explicit flags override its keys")
     p.add_argument("--weights", required=weights_required,
                    help="darknet .weights file (or .npz checkpoint)")
     p.add_argument("--conf-threshold", type=float, default=None)
@@ -79,6 +84,13 @@ def _build_detector(args):
         raise SystemExit("need --model or --cfg")
     if args.input_size:
         over["input_size"] = args.input_size
+    if getattr(args, "names", None):
+        # a names/labels file (flag or .data key) renames the registry
+        # model's classes, like the C's per-command name_list reads
+        # (examples/detector.c:565 option_find_str "names")
+        with open(args.names) as f:
+            over["custom_classes"] = tuple(
+                line.strip() for line in f if line.strip())
     return Detector(args.model, weights, params=params,
                     compute_dtype=jnp.bfloat16 if args.bf16 else None,
                     letterbox=getattr(args, "letterbox", False),
@@ -1143,14 +1155,20 @@ def main(argv=None):
                         "max_batches) and the head section's loss options "
                         "are honored (parse_net_options, "
                         "src/parser.c:643); CLI flags override")
-    p.add_argument("--list", required=True,
+    p.add_argument("--list",
                    help="image list: darknet detection format, or for "
                         "classifier models plain paths with the class name "
-                        "in each path (fill_truth convention)")
+                        "in each path (fill_truth convention). Required "
+                        "unless --data provides train=")
     p.add_argument("--names", default=None,
                    help="class-names file (one per line); overrides the "
                         "registry classes — required for classifier "
                         "training on custom classes")
+    p.add_argument("--data",
+                   help="darknet .data file: train=/valid= lists, names= "
+                        "(or labels=), backup= checkpoint dir "
+                        "(train_detector's reads, examples/detector.c:8-10)"
+                        "; explicit flags override")
     p.add_argument("--val-list")
     p.add_argument("--weights", help="initial weights (.weights or .npz)")
     p.add_argument("--partial-weights", action="store_true",
@@ -1514,6 +1532,11 @@ def main(argv=None):
     p.set_defaults(fn=cmd_3d)
 
     args = ap.parse_args(argv)
+    if getattr(args, "data", None):
+        from .io.datacfg import apply_data_cfg
+        apply_data_cfg(args, args.fn.__name__.replace("cmd_", ""))
+    if args.fn is cmd_train and not args.list:
+        ap.error("train needs --list (or a --data file with train=)")
     if args.xla_dump:
         from .utils.profiling import enable_xla_dump
         enable_xla_dump(args.xla_dump)
