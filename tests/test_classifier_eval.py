@@ -264,6 +264,91 @@ def test_multi_groups_mixed_shapes(tmp_path):
     np.testing.assert_allclose(batch, singles, rtol=0, atol=1e-5)
 
 
+def _color_classifier(tmp_path):
+    """Classifier whose logits are (scaled) per-channel means: class =
+    dominant RGB channel — robust to the <=16px resize deviation of the
+    snap32 bucketing policy, so exact-vs-bucketed parity is deterministic."""
+    clf, cfg, specs = _random_classifier(tmp_path)
+    params = {k: dict(v) for k, v in clf.params.items()}
+    for k, v in params.items():
+        w = np.asarray(v["w"])
+        if w.shape == (3, 3, 3, 8):          # conv0: center-tap identity
+            nw = np.zeros_like(w)
+            for c in range(3):
+                nw[1, 1, c, c] = 1.0
+        elif w.shape == (1, 1, 8, 3):        # head: channel c -> class c
+            nw = np.zeros_like(w)
+            for c in range(3):
+                nw[0, 0, c, c] = 10.0
+        else:
+            nw = np.zeros_like(w)
+        params[k] = {"w": nw, "b": np.zeros_like(np.asarray(v["b"]))}
+    from yolo_tensorflow_tpu.pipeline import Classifier
+    return Classifier(cfg, params=params, specs=specs), cfg, specs
+
+
+def test_shape_bucket_parity_mixed_ratios(tmp_path):
+    """snap32 vs exact on mixed aspect ratios: same predictions on a
+    resize-robust task, and O(buckets) — not O(ratios) — compilations
+    (the VERDICT order-4 done-gate). Deviation documented at
+    eval/classify.snap_shape_32."""
+    from yolo_tensorflow_tpu.eval.classify import (_chunk_probs,
+                                                   snap_shape_32)
+    rng = np.random.default_rng(11)
+    # near-identical ratios that are DISTINCT shapes exactly (4 compiles
+    # each on the exact path) but one stride-32 bucket snapped
+    shapes = [(100, 75), (101, 76), (99, 74), (102, 77), (98, 73)]
+    imgs = []
+    for i, (h, w) in enumerate(shapes):
+        im = rng.integers(0, 40, (h, w, 3), np.uint8)
+        im[..., i % 3] = 200 + (rng.integers(0, 40, (h, w)))
+        imgs.append(im.astype(np.uint8))
+
+    clf, cfg, specs = _color_classifier(tmp_path)
+    exact = _chunk_probs(clf, imgs, "full", None)
+    n_exact = len(clf._mode_jits)
+
+    clf2, _, _ = _color_classifier(tmp_path)
+    snapped = _chunk_probs(clf2, imgs, "full", "snap32")
+    n_snap = len(clf2._mode_jits)
+
+    assert exact.argmax(1).tolist() == snapped.argmax(1).tolist() == \
+        [i % 3 for i in range(len(shapes))]
+    # exact: one executable per distinct ratio; snap32: one bucket
+    exact_shapes = {clf._resize_min_shape(h, w, 64) for h, w in shapes}
+    snap_shapes = {snap_shape_32(*s) for s in exact_shapes}
+    assert n_exact == len(exact_shapes) > len(snap_shapes) == n_snap == 1
+    # multi mode: one executable per scale, not per (scale, ratio)
+    clf3, _, _ = _color_classifier(tmp_path)
+    multi = _chunk_probs(clf3, imgs, "multi", "snap32")
+    from yolo_tensorflow_tpu.eval.classify import MULTI_SCALES
+    n_buckets = len({snap_shape_32(*clf3._resize_max_shape(h, w, sc))
+                     for h, w in shapes for sc in MULTI_SCALES})
+    # one executable per bucket; bucket count rides the scale table (a
+    # rounding boundary may split one scale), never the ratio count
+    assert len(clf3._mode_jits) == n_buckets <= 2 * len(MULTI_SCALES)
+    assert n_buckets < len(shapes) * len(MULTI_SCALES)
+    assert multi.argmax(1).tolist() == [i % 3 for i in range(len(shapes))]
+
+
+def test_snap_shape_32_geometry():
+    from yolo_tensorflow_tpu.eval.classify import snap_shape_32
+    assert snap_shape_32(224, 168) == (224, 160)
+    assert snap_shape_32(10, 5000) == (32, 2048)   # clamped both ends
+    assert snap_shape_32(256, 256) == (256, 256)   # grid points unchanged
+
+
+def test_mode_jit_cache_is_lru_capped():
+    from yolo_tensorflow_tpu.pipeline import _LRUCache
+    c = _LRUCache(cap=3)
+    for i in range(5):
+        c[i] = i * 10
+    assert len(c) == 3 and 0 not in c and 1 not in c and c[2] == 20
+    _ = c[2]          # touch 2 -> 3 becomes LRU
+    c[9] = 90
+    assert 3 not in c and 2 in c and 9 in c
+
+
 def test_cli_classifier_mode_flag(tmp_path, capsys):
     """eval --classifier-mode 10crop drives the 10-crop validator end to
     end (the C's `classifier valid10` dispatch, classifier.c:1086)."""

@@ -200,6 +200,8 @@ def _eval_classifier(args):
         clf, samples, top_k=args.top, batch_size=args.batch_size,
         num_workers=args.num_workers,
         mode=getattr(args, "classifier_mode", "single"),
+        shape_buckets=(None if getattr(args, "shape_buckets",
+                                       "snap32") == "exact" else "snap32"),
         progress=lambda d, n: print(f"\r{d}/{n}", end="", flush=True,
                                     file=sys.stderr))
     dt = time.time() - t0
@@ -1143,6 +1145,15 @@ def main(argv=None):
                         "crop=stretch resize, 10crop=ten summed crops, "
                         "full=resize_min fully-conv, multi=4 scales + "
                         "mirror summed")
+    p.add_argument("--shape-buckets", choices=("snap32", "exact"),
+                   default="snap32",
+                   help="full/multi classifier eval: 'snap32' (default) "
+                        "snaps each fully-conv resize target to the "
+                        "stride-32 grid so XLA compiles O(buckets) "
+                        "executables over a heterogeneous validation set; "
+                        "'exact' keeps the C's per-ratio resize_network "
+                        "geometry (classifier.c:340,460) — one compile "
+                        "per distinct aspect ratio")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("train", help="train a model (detector or classifier)")

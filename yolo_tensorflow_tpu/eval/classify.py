@@ -53,7 +53,26 @@ def topk_indices(probs: np.ndarray, k: int) -> np.ndarray:
 MULTI_SCALES = (224, 256, 288, 320)
 
 
-def _chunk_probs(clf, imgs, mode: str) -> np.ndarray:
+def snap_shape_32(oh: int, ow: int, lo: int = 32,
+                  hi: int = 2048) -> Tuple[int, int]:
+    """Snap a fully-conv resize target to the stride-32 grid (clamped).
+
+    The C reallocs the net per image at the EXACT resize_min/resize_max
+    geometry (examples/classifier.c:340,460 resize_network) — cheap there,
+    but on TPU each distinct shape is an XLA compile, so a heterogeneous
+    validation set (ImageNet aspect ratios x 4 scales x mirror) would
+    compile per ratio, unbounded. Snapping each side to the nearest
+    multiple of 32 bounds the compile count at O(distinct buckets) for a
+    <=16px-per-side resize deviation — an eval-protocol deviation from the
+    C, gated against the exact path in tests/test_classifier_eval.py and
+    opt-out via shape_buckets=None / `--shape-buckets exact`."""
+    def snap(v):
+        return min(max(lo, int(round(v / 32.0)) * 32), hi)
+    return snap(oh), snap(ow)
+
+
+def _chunk_probs(clf, imgs, mode: str,
+                 shape_buckets: Optional[str] = None) -> np.ndarray:
     """(B, classes) prob scores for one decoded chunk under an eval mode.
 
     Modes, each the named reference flow with its exact preprocessing
@@ -70,6 +89,10 @@ def _chunk_probs(clf, imgs, mode: str) -> np.ndarray:
                where the C reallocs the net per image)
       multi  - resize_max at scales {224,256,288,320} + mirror, probs
                summed over all 8 views, validate_classifier_multi (:419)
+
+    shape_buckets (full/multi only): None = the C's exact per-ratio
+    geometry (one compile per distinct shape); "snap32" = snap targets to
+    the stride-32 grid (snap_shape_32) so compiles are O(buckets).
     """
     if mode == "single":
         return np.asarray(clf.classify_batch_center_crop(imgs), np.float32)
@@ -79,6 +102,8 @@ def _chunk_probs(clf, imgs, mode: str) -> np.ndarray:
         return np.asarray(clf.classify_batch_10crop(imgs), np.float32)
     if mode not in ("full", "multi"):
         raise ValueError(f"unknown classifier eval mode {mode!r}")
+    if shape_buckets not in (None, "snap32"):
+        raise ValueError(f"unknown shape_buckets {shape_buckets!r}")
     n_cls = len(clf.cfg.classes)
     out = np.zeros((len(imgs), n_cls), np.float32)
     scales = MULTI_SCALES if mode == "multi" else (clf.cfg.input_size,)
@@ -87,8 +112,10 @@ def _chunk_probs(clf, imgs, mode: str) -> np.ndarray:
                     else clf._resize_min_shape)
         groups: dict = {}
         for i, im in enumerate(imgs):
-            groups.setdefault(shape_of(im.shape[0], im.shape[1], scale),
-                              []).append(i)
+            hw = shape_of(im.shape[0], im.shape[1], scale)
+            if shape_buckets == "snap32":
+                hw = snap_shape_32(*hw)
+            groups.setdefault(hw, []).append(i)
         for out_hw, idxs in groups.items():
             probs = clf.classify_group_fullconv([imgs[i] for i in idxs],
                                                 out_hw,
@@ -100,6 +127,7 @@ def _chunk_probs(clf, imgs, mode: str) -> np.ndarray:
 def validate_classifier(clf, samples: Sequence[Tuple[str, int]], *,
                         top_k: int = 5, batch_size: int = 32,
                         num_workers: int = 4, mode: str = "single",
+                        shape_buckets: Optional[str] = None,
                         progress: Optional[Callable] = None) -> dict:
     """samples: (image_path, class_id) pairs (data.datasets.
     load_classifier_list). Returns running accuracies exactly as the C
@@ -124,7 +152,7 @@ def validate_classifier(clf, samples: Sequence[Tuple[str, int]], *,
 
         imgs = decode(chunks[0]) if chunks else None
         for ci, chunk in enumerate(chunks):
-            probs = _chunk_probs(clf, imgs, mode)
+            probs = _chunk_probs(clf, imgs, mode, shape_buckets)
             # decode the NEXT chunk while the device runs this one
             imgs = decode(chunks[ci + 1]) if ci + 1 < len(chunks) else None
             idx = topk_indices(probs, top_k)

@@ -326,6 +326,34 @@ def smooth_state_shapes(cfg: C.ModelConfig, specs, batch_size: int,
     return tuple(tails)
 
 
+class _LRUCache:
+    """Tiny LRU for compiled-executable caches (dict-like: in / [] / =).
+
+    Keeps the most recently used ``cap`` entries; evicted jax.jit wrappers
+    release their compiled executables with them."""
+
+    def __init__(self, cap: int):
+        from collections import OrderedDict
+        self.cap = cap
+        self._d = OrderedDict()
+
+    def __contains__(self, key):
+        return key in self._d
+
+    def __getitem__(self, key):
+        self._d.move_to_end(key)
+        return self._d[key]
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.cap:
+            self._d.popitem(last=False)
+
+    def __len__(self):
+        return len(self._d)
+
+
 def canvas_side(*extents: int) -> int:
     """On-device-resize canvas bucket covering the given extents: canvases
     quantize to 256-px buckets so arbitrary input sizes share a handful of
@@ -576,8 +604,14 @@ class Classifier:
 
         self._jit_forward = jax.jit(forward)
         self._compute_dtype = compute_dtype
-        self._crop_jits = {}
-        self._mode_jits = {}
+        # LRU-capped: the fully-conv eval paths compile per (canvas,
+        # out-shape, views) key; exact-geometry eval over a heterogeneous
+        # set would otherwise grow this without bound (the bucketing
+        # policy in eval/classify.snap_shape_32 bounds the KEYS; the cap
+        # bounds live executables either way). Dropping a jax.jit wrapper
+        # releases its compiled executables.
+        self._crop_jits = _LRUCache(cap=16)
+        self._mode_jits = _LRUCache(cap=64)
 
     def _crop_jit(self, canvas_side: int):
         """jit for the center-crop eval path, cached per canvas bucket."""
