@@ -1025,6 +1025,7 @@ def cmd_serve_http(args):
                batch_size=args.batch, max_wait_ms=args.max_wait_ms,
                max_canvas=args.max_canvas,
                max_body_bytes=args.max_body_mb << 20,
+               queue_depth=args.queue_depth,
                model_name=args.model or args.cfg or "model")
 
 
@@ -1526,6 +1527,10 @@ def main(argv=None):
     p.add_argument("--max-body-mb", type=int, default=32,
                    help="per-request POST body cap in MiB (413 beyond it) "
                         "— bounds host memory per request")
+    p.add_argument("--queue-depth", type=int, default=64,
+                   help="max requests waiting for a batch slot; beyond it "
+                        "requests are shed immediately with 503 + "
+                        "Retry-After")
     p.set_defaults(fn=cmd_serve_http)
 
     p = sub.add_parser("imtest",

@@ -43,6 +43,14 @@ from typing import List, Optional
 import numpy as np
 
 
+class Overloaded(RuntimeError):
+    """The request queue is full: the server is taking work faster than
+    the device drains it. Raised immediately (fail-fast load shedding —
+    blocking the client until the 30 s timeout would just stack up more
+    work behind a device that is already behind); the HTTP layer maps it
+    to 503 + Retry-After."""
+
+
 class _Pending:
     """One in-flight request: the decoded image in, results out."""
 
@@ -76,20 +84,33 @@ class BatchingDetector:
         self.batch_size = int(batch_size)
         self.max_wait = max_wait_ms / 1e3
         self.max_canvas = int(max_canvas)
-        self._q: "queue.Queue[_Pending]" = queue.Queue(maxsize=queue_depth)
+        self.queue_depth = int(queue_depth)
+        self._q: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=self.queue_depth)
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "images": 0,
-                      "errors": 0}
+                      "errors": 0, "rejected": 0}
         self._lat_ring: List[float] = []
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     # -- client side ---------------------------------------------------------
     def detect(self, image: np.ndarray, timeout: float = 30.0) -> list:
-        """Blocking single-image detect through the shared batcher."""
+        """Blocking single-image detect through the shared batcher.
+
+        Raises :class:`Overloaded` immediately when ``queue_depth``
+        requests are already waiting (``timeout`` bounds only the wait
+        for an *accepted* request's batch to complete)."""
         p = _Pending(image)
-        self._q.put(p, timeout=timeout)
+        try:
+            self._q.put_nowait(p)
+        except queue.Full:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise Overloaded(
+                f"request queue full ({self.queue_depth} deep); retry "
+                "later") from None
         if not p.event.wait(timeout):
             raise TimeoutError("detection batch did not complete in time")
         if p.error is not None:
@@ -204,6 +225,7 @@ class BatchingDetector:
         s["mean_batch_occupancy"] = round(
             s["images"] / s["batches"], 2) if s["batches"] else 0.0
         s["batch_size"] = self.batch_size
+        s["queue_depth"] = self.queue_depth
         return s
 
 
@@ -267,6 +289,15 @@ def make_handler(batcher: BatchingDetector, model_name: str,
                     "detections": results,
                     "ms": round((time.perf_counter() - t0) * 1e3, 1),
                 })
+            except Overloaded as e:
+                # load shedding: tell the client to back off, not to wait
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
             except TimeoutError as e:
                 self._send(503, {"error": str(e)})
             except Exception as e:
@@ -278,15 +309,17 @@ def make_handler(batcher: BatchingDetector, model_name: str,
 def serve_http(detector, *, host: str = "0.0.0.0", port: int = 8000,
                batch_size: int = 8, max_wait_ms: float = 5.0,
                max_canvas: int = 1024, model_name: str = "model",
-               max_body_bytes: int = 32 << 20,
+               max_body_bytes: int = 32 << 20, queue_depth: int = 64,
                ready_event: Optional[threading.Event] = None):
     """Run the server until interrupted. Returns (server, batcher) when
     called with ready_event (test mode: caller drives shutdown).
     ``max_body_bytes`` caps a single POST body (413 beyond it) so one
-    oversized upload cannot balloon host memory."""
+    oversized upload cannot balloon host memory; ``queue_depth`` caps
+    waiting requests (503 + Retry-After beyond it)."""
     batcher = BatchingDetector(detector, batch_size=batch_size,
                                max_wait_ms=max_wait_ms,
-                               max_canvas=max_canvas)
+                               max_canvas=max_canvas,
+                               queue_depth=queue_depth)
     httpd = ThreadingHTTPServer(
         (host, port),
         make_handler(batcher, model_name, max_body_bytes=max_body_bytes))
