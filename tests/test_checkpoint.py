@@ -116,3 +116,44 @@ def test_crashed_save_leaves_previous_checkpoint_usable(tmp_path,
     assert step == 10
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_train_params_template_free(tmp_path):
+    """load_train_params extracts (params, batch_stats, step) from a
+    training checkpoint with NO TrainState template — the export-darknet
+    --ckpt path that closes the C's pretrain loop (classifier.c
+    save_weights feeding darknet `partial`, examples/darknet.c:491)."""
+    cfg, tx, state = _state()
+    ckpt.save_train_state(state, str(tmp_path), 12)
+
+    # by dir (latest) and by explicit file, both recover the step
+    for src in (str(tmp_path), str(tmp_path / "ckpt-12.npz")):
+        params, stats, step = ckpt.load_train_params(src)
+        assert step == 12
+        assert params.keys() == dict(state.params).keys()
+        assert stats.keys() == dict(state.batch_stats).keys()
+        for lk, sub in params.items():
+            for f, v in sub.items():
+                np.testing.assert_array_equal(
+                    v, np.asarray(state.params[lk][f]))
+
+    # the extracted trees round-trip through the .weights writer
+    from yolo_tensorflow_tpu.io import weights as W
+    specs = C.build_specs(cfg)
+    params, stats, _ = ckpt.load_train_params(str(tmp_path))
+    out = tmp_path / "exported.weights"
+    W.save_darknet_weights(specs, 64, params, stats, str(out))
+    p2, s2, _ = W.load_darknet_weights(specs, 64, str(out), fold=False)
+    for lk in params:
+        for f in params[lk]:
+            np.testing.assert_allclose(p2[lk][f], params[lk][f],
+                                       rtol=0, atol=0)
+
+
+def test_load_train_params_rejects_flat_npz(tmp_path):
+    """A convert/quantize-style flat layer/field npz is NOT a training
+    checkpoint — the loader must say so instead of returning empties."""
+    import pytest
+    np.savez(tmp_path / "flat.npz", **{"L000/w": np.zeros((3, 3, 3, 4))})
+    with pytest.raises(ValueError, match="training checkpoint"):
+        ckpt.load_train_params(str(tmp_path / "flat.npz"))

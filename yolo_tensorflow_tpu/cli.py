@@ -538,14 +538,33 @@ def cmd_classify(args):
 
 
 def cmd_export_darknet(args):
-    """Emit a darknet-loadable (cfg, weights) pair from an unfolded model."""
-    from yolo_tensorflow_tpu.config import get_config, build_specs
+    """Emit a darknet-loadable (cfg, weights) pair from an unfolded model.
+
+    Source is either raw darknet --weights or a training checkpoint
+    (--ckpt: a ckpt-<step>.npz or a checkpoint dir's latest) — the latter
+    closes the C's pretrain loop, where the classifier trainer's saved
+    weights feed `partial` directly (examples/classifier.c save_weights ->
+    examples/darknet.c:491)."""
     from yolo_tensorflow_tpu.io import weights as W
     from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
-    cfg = get_config(args.model)
-    specs = build_specs(cfg)
-    params, stats, _ = W.load_darknet_weights(
-        specs, cfg.input_size, args.weights, fold=False, bn_eps=cfg.bn_eps)
+    if getattr(args, "cfg", None):
+        from yolo_tensorflow_tpu.config import config_from_cfg
+        cfg, specs = config_from_cfg(args.cfg)
+    elif args.model:
+        from yolo_tensorflow_tpu.config import get_config, build_specs
+        cfg = get_config(args.model)
+        specs = build_specs(cfg)
+    else:
+        raise SystemExit("export-darknet needs --model or --cfg")
+    if getattr(args, "ckpt", None):
+        from yolo_tensorflow_tpu.io import checkpoint as ckpt
+        params, stats, _ = ckpt.load_train_params(args.ckpt)
+    elif args.weights:
+        params, stats, _ = W.load_darknet_weights(
+            specs, cfg.input_size, args.weights, fold=False,
+            bn_eps=cfg.bn_eps)
+    else:
+        raise SystemExit("export-darknet needs --weights or --ckpt")
     W.save_darknet_weights(specs, cfg.input_size, params, stats,
                            args.out + ".weights")
     with open(args.out + ".cfg", "w") as f:
@@ -1383,8 +1402,13 @@ def main(argv=None):
 
     p = sub.add_parser("export-darknet",
                        help="emit darknet (cfg, weights) pair")
-    p.add_argument("--model", required=True, choices=MODEL_NAMES)
-    p.add_argument("--weights", required=True)
+    p.add_argument("--model", choices=MODEL_NAMES)
+    p.add_argument("--cfg", help="arbitrary darknet .cfg instead of a "
+                                 "registry --model")
+    p.add_argument("--weights", help="raw darknet .weights source")
+    p.add_argument("--ckpt", help="training checkpoint source: a "
+                                  "ckpt-<step>.npz or a checkpoint dir "
+                                  "(uses its latest)")
     p.add_argument("--out", required=True, help="output path stem")
     p.set_defaults(fn=cmd_export_darknet)
 

@@ -118,6 +118,44 @@ def checkpoint_has_field(ckpt_dir: str, field: str) -> bool:
                    for part in k.split(_SEP))
 
 
+def load_train_params(path_or_dir: str):
+    """(params, batch_stats, step) straight out of a training checkpoint,
+    template-free — so the weight-file utilities (export-darknet ->
+    partial) can consume trained checkpoints the way darknet's `partial`
+    consumes its trainer's .weights output (examples/darknet.c:491 on
+    classifier.c save_weights files). Accepts a ckpt-<step>.npz or a
+    checkpoint dir (its latest). Arrays come back float32 (the master
+    weights the trainer checkpoints)."""
+    step = -1
+    if os.path.isdir(path_or_dir):
+        latest = os.path.join(path_or_dir, "latest.json")
+        if not os.path.exists(latest):
+            raise FileNotFoundError(f"no latest.json in {path_or_dir}")
+        with open(latest) as f:
+            meta = json.load(f)
+        path, step = os.path.join(path_or_dir, meta["file"]), meta["step"]
+    else:
+        path = path_or_dir
+        m = re.search(r"ckpt-(\d+)\.npz$", path)
+        if m:
+            step = int(m.group(1))
+    out = {"params": {}, "batch_stats": {}}
+    with np.load(path) as data:
+        for key in data.files:
+            parts = key.split(_SEP)
+            if len(parts) != 3 or parts[0] not in ("n:params",
+                                                   "n:batch_stats"):
+                continue
+            field = parts[0][2:]
+            layer, leaf = parts[1][2:], parts[2][2:]
+            out[field].setdefault(layer, {})[leaf] = data[key]
+    if not out["params"]:
+        raise ValueError(
+            f"{path} holds no 'params' tree — not a training checkpoint "
+            "(convert/quantize outputs use the flat layer/field format)")
+    return out["params"], out["batch_stats"], int(step)
+
+
 def restore_train_state(template, ckpt_dir: str):
     """Restore the newest checkpoint; returns (state, step) or (None, 0)."""
     latest = os.path.join(ckpt_dir, "latest.json")
