@@ -79,15 +79,25 @@ def gen_dataset(root, n_train, n_val, size=SIZE):
     return lists, names
 
 
-def emit_cfg(root, size=SIZE):
-    """The 12-class yolov3 .cfg the CLI trains from (specs_to_cfg)."""
+def emit_cfg(root, size=SIZE, max_batches=None, suffix=""):
+    """The 12-class yolov3 .cfg the CLI trains from (specs_to_cfg).
+
+    ``max_batches`` scales the steps-policy LR drops (x0.1 at 80%/90%)
+    to the run length — the stock-cfg proportions. The first flagship
+    run trained the whole 6000 steps at constant 1e-3 because the
+    emitted boundaries (400000/450000) never fired, and held-out mAP
+    oscillated 0.9128@5000 -> 0.7436@6000; the scaled schedule is the
+    fix (the C recipe, src/network.c get_current_rate policy=steps).
+    The QAT leg uses its own UNscaled cfg (suffix='-qat'): it fine-tunes
+    past max_batches at --lr 1e-4, where a fired x0.01 scale would
+    freeze it at 1e-6."""
     import dataclasses
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
     cfg = dataclasses.replace(C.get_config(MODEL, input_size=size),
                               custom_classes=HARD_CLASSES)
-    text = specs_to_cfg(cfg, batch=32)
-    path = os.path.join(root, f"{MODEL}-shapes12.cfg")
+    text = specs_to_cfg(cfg, batch=32, max_batches=max_batches)
+    path = os.path.join(root, f"{MODEL}-shapes12{suffix}.cfg")
     with open(path, "w") as f:
         f.write(text)
     return path, cfg
@@ -225,7 +235,8 @@ def main():
     if not args.skip_train:
         if not os.path.exists(os.path.join(root, "valid.txt")):
             gen_dataset(root, args.n_train, args.n_val)
-        cfg_path, _ = emit_cfg(root)
+        cfg_path, _ = emit_cfg(root, max_batches=args.steps)
+        qat_cfg_path, _ = emit_cfg(root, suffix="-qat")
         common = ["train", "--cfg", cfg_path,
                   "--list", os.path.join(root, "train.txt"),
                   "--val-list", os.path.join(root, "valid.txt"),
@@ -247,9 +258,11 @@ def main():
         # phase 2: fresh process resumes from the checkpoint and finishes
         run_cli(common + ["--steps", str(args.steps), "--lr", "1e-3",
                           "--burn-in", "500"], log_path)
-        # phase 3: float->QAT fine-tune from the float checkpoint
-        run_cli(common + ["--steps", str(args.steps + args.qat_steps),
-                          "--lr", "1e-4", "--burn-in", "20", "--qat"],
+        # phase 3: float->QAT fine-tune from the float checkpoint, on the
+        # unscaled-schedule cfg (constant 1e-4 past the train boundaries)
+        qat_common = [qat_cfg_path if a == cfg_path else a for a in common]
+        run_cli(qat_common + ["--steps", str(args.steps + args.qat_steps),
+                              "--lr", "1e-4", "--burn-in", "20", "--qat"],
                 log_path)
 
     # final suite: restore the FLOAT checkpoint of record (the QAT phase

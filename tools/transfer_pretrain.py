@@ -117,7 +117,9 @@ def gen_detection_set(root, n_train, n_val):
         f.write("\n".join(HARD_CLASSES) + "\n")
 
 
-def emit_cfg(root, model, size, names, fname):
+def emit_cfg(root, model, size, names, fname, max_batches=None):
+    """max_batches scales the steps-policy LR drops to the run length
+    (x0.1 at 80%/90% — the stock-cfg proportions; see flagship_train)."""
     import dataclasses
     from yolo_tensorflow_tpu import config as C
     from yolo_tensorflow_tpu.io.cfg import specs_to_cfg
@@ -125,7 +127,7 @@ def emit_cfg(root, model, size, names, fname):
                               custom_classes=tuple(names))
     path = os.path.join(root, fname)
     with open(path, "w") as f:
-        f.write(specs_to_cfg(cfg, batch=32))
+        f.write(specs_to_cfg(cfg, batch=32, max_batches=max_batches))
     return path
 
 
@@ -180,7 +182,8 @@ def main():
         if not os.path.exists(os.path.join(root, "clf_valid.txt")):
             gen_classifier_set(root, args.n_train, max(args.n_val, 120))
         clf_cfg = emit_cfg(root, "darknet19-classifier", CLF_SIZE,
-                           CLF_TOKENS, "darknet19-shapes12.cfg")
+                           CLF_TOKENS, "darknet19-shapes12.cfg",
+                           max_batches=args.clf_steps)
         run_cli(["train", "--cfg", clf_cfg,
                  "--list", os.path.join(root, "clf_train.txt"),
                  "--val-list", os.path.join(root, "clf_valid.txt"),
@@ -209,7 +212,7 @@ def main():
     if not os.path.exists(os.path.join(root, "valid.txt")):
         gen_detection_set(root, args.n_train, args.n_val)
     det_cfg = emit_cfg(root, "yolov2", DET_SIZE, HARD_CLASSES,
-                       "yolov2-shapes12.cfg")
+                       "yolov2-shapes12.cfg", max_batches=args.det_steps)
     common = ["train", "--cfg", det_cfg,
               "--list", os.path.join(root, "train.txt"),
               "--val-list", os.path.join(root, "valid.txt"),

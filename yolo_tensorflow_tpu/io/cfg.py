@@ -22,11 +22,20 @@ from yolo_tensorflow_tpu.models import specs as S
 
 
 def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1,
-                 inputs: Optional[int] = None, time_steps: int = 1) -> str:
+                 inputs: Optional[int] = None, time_steps: int = 1,
+                 max_batches: Optional[int] = None) -> str:
     """Emit a darknet .cfg for ``specs``. ``inputs`` switches the [net]
     section to flat-input form (darknet's ``inputs=``, parse_net_options)
     for recurrent/connected-first nets; ``time_steps`` emits the net-level
-    recurrent step count (src/parser.c:650)."""
+    recurrent step count (src/parser.c:650).
+
+    ``max_batches`` scales the canonical steps-policy schedule to a run
+    of that length: LR drops x0.1 at 80% and 90% of it, the proportions
+    of the stock yolov3 cfg (500200: 400000,450000). Without it the
+    emitted boundaries are the stock ones — which a short run never
+    reaches, leaving the whole run at constant learning_rate (the
+    flagship run measured a 0.91 -> 0.74 held-out mAP oscillation from
+    exactly that; see tools/flagship_train.py)."""
     specs = C.build_specs(cfg) if specs is None else specs
     out: List[str] = []
     out.append("[net]")
@@ -41,8 +50,11 @@ def specs_to_cfg(cfg: C.ModelConfig, specs=None, *, batch: int = 1,
     if time_steps != 1:
         out.append(f"time_steps={time_steps}")
     out.append("momentum=0.9\ndecay=0.0005")
-    out.append("learning_rate=0.001\nburn_in=1000\nmax_batches=500200")
-    out.append("policy=steps\nsteps=400000,450000\nscales=.1,.1")
+    mb = 500200 if max_batches is None else int(max_batches)
+    s1, s2 = (400000, 450000) if max_batches is None else (
+        int(mb * 0.8), int(mb * 0.9))
+    out.append(f"learning_rate=0.001\nburn_in=1000\nmax_batches={mb}")
+    out.append(f"policy=steps\nsteps={s1},{s2}\nscales=.1,.1")
     out.append("")
 
     # spec index -> darknet layer index (TransposeFlatten emits no section)
