@@ -51,6 +51,45 @@ Recorded runs (one TPU v5e chip, from-scratch, no tuning):
     is seed-noise-sized (the onepass run above shows -0.008) and partly
     the extra 700 steps; the round-3 "QAT beats float" headline is
     softened accordingly (README "Performance").
+  Round 5 FLAGSHIP runs (tools/flagship_train.py: FULL yolov3@416,
+  hard-12 task at 416, 4000 train / 200 held-out scenes on disk in
+  darknet layout, batch 32 bf16, production CLI phases in fresh
+  processes with a scripted interrupt at step 3000 + cross-process
+  resume, then an 800-step QAT leg; one TPU v5e, loader on a single
+  contended host core at ~45-80 img/s):
+    Run A (constant-LR flaw, 2026-08-21): the emitted cfg carried the
+    stock 500200-batch schedule, so 6000 steps trained at constant 1e-3;
+    in-loop val mAP@0.5 rose 0.8139@1000 -> 0.8902@2000 -> 0.9066@3000
+    -> 0.9142@4000 -> 0.9128@5000 then OSCILLATED DOWN to 0.7494@6000
+    (train cost/IoU healthy throughout — an LR-schedule flaw, not a
+    divergence). Final suite on the restored step-6000 checkpoint:
+      float bf16 0.7436 | flip-TTA[darknet] 0.6360 (the C's buggy mode)
+      flip-TTA[corrected] 0.7414 | int8 PTQ 0.6325
+      int8 QAT 0.8032  <- the 800 fine-tune steps at 1e-4 recovered
+                          +0.06 past float: exactly what a missing LR
+                          drop predicts, and the clue that led to the
+                          fix (io/cfg.py specs_to_cfg max_batches).
+    Run B (fixed schedule: x0.1 LR drops at 4800/5400, same data/seed;
+    bit-identical to Run A through step 4000 — 0.8139/0.8902/0.9066/
+    0.9142 — then diverging exactly at the 4800 drop):
+    in-loop val mAP@0.5 0.9277@5000 (A: 0.9128) -> 0.9275@6000
+    (A: 0.7494). Final suite on the restored step-6000 checkpoint
+    (200 held-out scenes, conf 0.3):
+      float bf16           0.9278
+      flip-TTA[darknet]    0.7572 (-0.171: the C's buggy flip mode is
+                           actively harmful at high accuracy)
+      flip-TTA[corrected]  0.9264 (-0.001: proper mirroring is neutral
+                           here — TTA helps mid-range models, not this)
+      int8 PTQ             0.8705 (-0.057: the honest w8a8 cost at 416)
+      int8 QAT             0.9329 (+0.005 vs float; recovers the FULL
+                           PTQ loss, consistent with the tiny-model
+                           seed study above)
+    Wall-clock on one v5e (remote-tunnel chip, single-core host loader):
+    phase 1 (steps 0-3000 + interrupt) 2549 s, phase 2 (resume 3000->
+    6000, fresh process) 2518 s, QAT leg (6000->6800) 730 s, eval suite
+    5 detectors x 200 imgs ~19 min; loader-bound ~45-70 img/s after the
+    decode cache warms (the pure-device training step measures ~460
+    img/s at batch 128 — bench.py train extra).
 """
 
 import os
