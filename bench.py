@@ -301,6 +301,17 @@ def main():
                   "0.913->0.744 late oscillation) fixed by run-length-"
                   "scaled LR drops; both runs in "
                   "tools/synthetic_train_demo.py's header",
+                  "transfer_pretrain_recorded": "darknet19-pretrain "
+                  "transfer A/B (tools/transfer_pretrain.py, one v5e, "
+                  "2026-08-21; the darknet19_448.conv.23 recipe): "
+                  "classifier top-1 0.8375@1500 steps on task crops -> "
+                  "export-darknet --ckpt -> partial --upto 23 -> "
+                  "yolov2@416 scratch-vs-transfer at equal steps. "
+                  "mAP@0.5 deltas: +0.3456@250, +0.1121@500, "
+                  "+0.0395@1000, -0.008@1500 (parity at convergence) — "
+                  "the early-step head start the C's canonical workflow "
+                  "exists for. Full table in "
+                  "tools/synthetic_train_demo.py's header",
                   "platform": jax.devices()[0].platform,
                   "device": str(jax.devices()[0])},
     }))

@@ -90,6 +90,28 @@ Recorded runs (one TPU v5e chip, from-scratch, no tuning):
     5 detectors x 200 imgs ~19 min; loader-bound ~45-70 img/s after the
     decode cache warms (the pure-device training step measures ~460
     img/s at batch 128 — bench.py train extra).
+  Round 5 TRANSFER A/B (tools/transfer_pretrain.py, one v5e, 2026-08-21
+  — the reference's darknet19_448.conv.23 recipe end-to-end,
+  examples/detector.c:16-23 / src/parser.c:992): darknet19 classifier
+  pretrained on 2000 single-shape crops@224 from the SAME scene
+  distribution (held-out top-1 0.2062@250 -> 0.7375@500 -> 0.8375@1500),
+  exported from its training checkpoint to .weights (export-darknet
+  --ckpt), truncated with `partial --upto 23`, then yolov2@416 trained
+  on 2000 detection scenes scratch-vs-transfer at EQUAL steps (batch 32
+  bf16, scaled LR schedule; 160 held-out scenes):
+    step | scratch | transfer | delta
+     250 | 0.1763  | 0.5219   | +0.3456  <- the pretrain pays here
+     500 | 0.6835  | 0.7956   | +0.1121
+     750 | 0.7501  | 0.7118   | -0.0383
+    1000 | 0.8046  | 0.8441   | +0.0395
+    1250 | 0.8644  | 0.8581   | -0.0063
+    1500 | 0.8641  | 0.8559   | -0.0082  <- parity at convergence
+  The textbook transfer signature: a 3x head start at 250 steps that
+  washes out once the from-scratch run has seen enough data — the value
+  of the recipe is wall-clock-to-accuracy, exactly why the C ships it
+  as its canonical workflow. Raw table: /tmp root transfer_ab.json;
+  legs: scratch 1866 s, transfer 1213 s (same steps — the transfer
+  leg's eval detectors hit warmer compile caches).
 """
 
 import os
