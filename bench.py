@@ -280,12 +280,15 @@ def main():
                   "serve_http_latency_recorded": "production HTTP micro-"
                   "batching server over the int8 fused-letterbox yolov3-"
                   "416 Detector, real JPEG POSTs, measured on one v5e "
-                  "through the remote-TPU tunnel (tools/bench_server.py): "
-                  "sequential p50/p95 = 240.9/275.1 ms, 6-way concurrent "
-                  "p50/p95 = 582.3/656.5 ms at 10.1 img/s, 103 requests "
-                  "0 errors, mean batch occupancy 1.63; the tunnel "
-                  "contributes ~200 ms RTT per dispatch that a co-located "
-                  "chip does not pay (device-only batch-1 latency is "
+                  "through the remote-TPU tunnel (tools/bench_server.py, "
+                  "re-measured after the round-5 fail-fast backpressure "
+                  "rework): sequential p50/p95 = 222.8/252.7 ms, 6-way "
+                  "concurrent p50/p95 = 595.7/696.5 ms at 9.8 img/s, 103 "
+                  "requests 0 errors, mean batch occupancy 1.63 (r04 "
+                  "pre-rework: 240.9/275.1 seq, 10.1 img/s conc — same "
+                  "within tunnel spread); the tunnel contributes ~200 ms "
+                  "RTT per dispatch that a co-located chip does not pay "
+                  "(device-only batch-1 latency is "
                   "batch1_device_latency_ms_int8)",
                   **train_extra,
                   "flagship_train_recorded": "FULL yolov3@416 on the "
