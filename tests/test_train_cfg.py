@@ -594,3 +594,41 @@ def test_cfg_aug_reaches_loader(tmp_path, monkeypatch):
     assert captured["jitter"] == 0.25 and captured["max_boxes"] == 12
     assert captured["sat"] == 1.7 and captured["exposure"] == 1.3
     assert captured["hue"] == 0.05
+
+
+def test_specs_to_cfg_scaled_schedule():
+    """specs_to_cfg(max_batches=N) places the steps-policy LR drops at
+    80%/90% of N (the stock yolov3 cfg's 500200:400000,450000
+    proportions) and round-trips through the parser — the fix for the
+    flagship run's constant-LR oscillation (a 6000-step run never
+    reached the stock boundaries; held-out mAP fell 0.913 -> 0.744 over
+    the last 1000 steps; see tools/flagship_train.py)."""
+    from yolo_tensorflow_tpu import config as C
+    from yolo_tensorflow_tpu.io.cfg import parse_cfg_file, specs_to_cfg
+
+    cfg = C.get_config("yolov2-tiny-voc", input_size=96)
+    text = specs_to_cfg(cfg, batch=8, max_batches=6000)
+    assert "max_batches=6000" in text
+    assert "steps=4800,5400" in text and "scales=.1,.1" in text
+    # default emission keeps the stock schedule byte-for-byte
+    stock = specs_to_cfg(cfg, batch=8)
+    assert "max_batches=500200" in stock
+    assert "steps=400000,450000" in stock
+
+    # the parser reads the scaled boundaries back, and the schedule the
+    # trainer builds from them really drops x0.1 / x0.01
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.cfg")
+        with open(p, "w") as f:
+            f.write(text)
+        _, net, _ = parse_cfg_file(p)
+    assert net["steps"] == "4800,5400"
+    from yolo_tensorflow_tpu.train import loop as T
+    opts = T.NetTrainOptions.from_net(dict(net))
+    sched = T.darknet_schedule(opts)
+    lr = float(opts.learning_rate)
+    import numpy as np
+    assert np.isclose(float(sched(4799)), lr, rtol=1e-6)
+    assert np.isclose(float(sched(4801)), lr * 0.1, rtol=1e-6)
+    assert np.isclose(float(sched(5401)), lr * 0.01, rtol=1e-6)
