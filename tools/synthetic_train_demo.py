@@ -109,9 +109,11 @@ Recorded runs (one TPU v5e chip, from-scratch, no tuning):
   The textbook transfer signature: a 3x head start at 250 steps that
   washes out once the from-scratch run has seen enough data — the value
   of the recipe is wall-clock-to-accuracy, exactly why the C ships it
-  as its canonical workflow. Raw table: /tmp root transfer_ab.json;
-  legs: scratch 1866 s, transfer 1213 s (same steps — the transfer
-  leg's eval detectors hit warmer compile caches).
+  as its canonical workflow. Raw artifacts checked in:
+  docs/records/transfer_ab_r5.json and flagship_train_r5.json (both
+  flagship runs' in-loop curves + final suites). Legs: scratch 1866 s,
+  transfer 1213 s (same steps — the transfer leg's eval detectors hit
+  warmer compile caches).
 """
 
 import os
